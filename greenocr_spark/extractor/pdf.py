@@ -1,0 +1,214 @@
+"""Minimal from-scratch PDF text extractor + matching generator.
+
+The layout-parse branch for binary payloads (the Real-ESRGAN raw-binary
+branch analog, reference ENHANCMENT24.py:93-107). Scope is frozen to the
+subset our generator emits — uncompressed or Flate content streams with
+BT/ET, Tf, Td, TD, Tm, Tj, TJ text operators — which also covers a useful
+slice of real-world simple PDFs. Reading order: spans sorted by
+(page, -y, x), per SURVEY.md §7.2 milestone 7.
+
+Deterministic: no randomness, float64 positions, stable sort.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from greenocr_spark.extractor.core import canon_ws
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+
+
+# --------------------------------------------------------------------------
+# Generator (fixtures only — never used in the extraction path)
+# --------------------------------------------------------------------------
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_pdf(pages, compress: bool = False) -> bytes:
+    """Build a minimal 1..n page PDF. `pages` is a list of pages; each page a
+    list of (x, y, text) spans. One content stream per page."""
+    out = [b"%PDF-1.4\n"]
+    objs = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    objs.append(
+        f"2 0 obj\n<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>\nendobj\n".encode()
+    )
+    for i, spans in enumerate(pages):
+        page_num, stream_num = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            (
+                f"{page_num} 0 obj\n<< /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 612 792] /Contents {stream_num} 0 R >>\nendobj\n"
+            ).encode()
+        )
+        ops = []
+        for x, y, text in spans:
+            ops.append(f"BT /F1 12 Tf {x} {y} Td ({_esc(text)}) Tj ET")
+        body = "\n".join(ops).encode("latin-1", errors="replace")
+        filt = b""
+        if compress:
+            body = zlib.compress(body)
+            filt = b" /Filter /FlateDecode"
+        objs.append(
+            f"{stream_num} 0 obj\n<< /Length {len(body)}{filt.decode()} >>\nstream\n".encode()
+            + body
+            + b"\nendstream\nendobj\n"
+        )
+    for o in objs:
+        out.append(o)
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+
+def _tokenize_content(data: bytes):
+    """Yield tokens from a content stream: ('str', text), ('num', float),
+    ('op', name), ('arr', [tokens])."""
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"(":
+            # PDF literal string with escapes and balanced parens
+            buf = []
+            depth = 1
+            i += 1
+            while i < n and depth > 0:
+                ch = data[i : i + 1]
+                if ch == b"\\" and i + 1 < n:
+                    nxt = data[i + 1 : i + 2]
+                    mapping = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f"}
+                    if nxt in mapping:
+                        buf.append(mapping[nxt])
+                    else:
+                        buf.append(nxt.decode("latin-1"))
+                    i += 2
+                    continue
+                if ch == b"(":
+                    depth += 1
+                elif ch == b")":
+                    depth -= 1
+                    if depth == 0:
+                        i += 1
+                        break
+                buf.append(ch.decode("latin-1"))
+                i += 1
+            yield ("str", "".join(buf))
+        elif c == b"[":
+            j = i + 1
+            depth = 1
+            while j < n and depth > 0:
+                cj = data[j : j + 1]
+                if cj == b"(":  # skip strings (may contain brackets)
+                    j += 1
+                    while j < n and data[j : j + 1] != b")":
+                        if data[j : j + 1] == b"\\":
+                            j += 1
+                        j += 1
+                elif cj == b"[":
+                    depth += 1
+                elif cj == b"]":
+                    depth -= 1
+                j += 1
+            yield ("arr", list(_tokenize_content(data[i + 1 : j - 1])))
+            i = j
+        elif c == b"/":
+            m = re.match(rb"/[^\s\[\]()<>/]*", data[i:])
+            i += m.end()
+            yield ("name", m.group(0).decode("latin-1"))
+        elif re.match(rb"[-+.0-9]", c):
+            m = re.match(rb"[-+.0-9]+", data[i:])
+            try:
+                yield ("num", float(m.group(0)))
+            except ValueError:
+                pass
+            i += m.end()
+        else:
+            m = re.match(rb"[A-Za-z'\"*]+", data[i:])
+            if m:
+                yield ("op", m.group(0).decode("latin-1"))
+                i += m.end()
+            else:
+                i += 1
+
+
+def _parse_stream(data: bytes):
+    """Return list of (x, y, text) spans from one content stream."""
+    spans = []
+    x = y = 0.0
+    operands = []
+    for kind, val in _tokenize_content(data):
+        if kind in ("str", "num", "name", "arr"):
+            operands.append((kind, val))
+            continue
+        op = val
+        if op == "BT":
+            x = y = 0.0
+        elif op in ("Td", "TD") and len(operands) >= 2:
+            x += float(operands[-2][1])
+            y += float(operands[-1][1])
+        elif op == "Tm" and len(operands) >= 6:
+            x = float(operands[-2][1])
+            y = float(operands[-1][1])
+        elif op == "Tj" and operands and operands[-1][0] == "str":
+            spans.append((x, y, operands[-1][1]))
+        elif op == "TJ" and operands and operands[-1][0] == "arr":
+            text = "".join(v for k, v in operands[-1][1] if k == "str")
+            spans.append((x, y, text))
+        elif op in ("'", '"'):
+            y -= 14.0  # next-line shorthand (T* leading default)
+            if operands and operands[-1][0] == "str":
+                spans.append((x, y, operands[-1][1]))
+        operands = []
+    return spans
+
+
+def extract_pdf(raw: bytes):
+    """Extract reading-order text spans from a minimal PDF byte stream.
+
+    Each content stream is one page (generator invariant). Spans sort by
+    (page, -y, x); output text is the whitespace-canonical join."""
+    parts = []
+    spans_out = []
+    off = 0
+    idx = 0
+    for page_no, m in enumerate(_STREAM_RE.finditer(raw)):
+        body = m.group(1)
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            pass
+        page_spans = _parse_stream(body)
+        page_spans.sort(key=lambda s: (-s[1], s[0]))
+        for _x, _y, text in page_spans:
+            text = canon_ws(text)
+            if not text:
+                continue
+            if parts:
+                off += 1
+            start = off
+            parts.append(text)
+            off += len(text)
+            spans_out.append((idx, start, off, "content"))
+            idx += 1
+    text = " ".join(parts)
+    return {
+        "text": text,
+        "spans": spans_out,
+        "n_blocks": idx,
+        "n_content": idx,
+        "n_boilerplate": 0,
+        "kind": "pdf",
+    }

@@ -1,0 +1,61 @@
+"""Tests for the minimal PDF layout parser (SURVEY.md §7.2 milestone 7)."""
+
+import zlib
+
+from greenocr_spark.extractor.pdf import build_pdf, extract_pdf
+
+
+def test_roundtrip_uncompressed():
+    raw = build_pdf([[(72, 700, "first line"), (72, 680, "second line")]])
+    r = extract_pdf(raw)
+    assert r["text"] == "first line second line"
+    assert r["n_blocks"] == 2 and r["kind"] == "pdf"
+
+
+def test_roundtrip_flate():
+    raw = build_pdf([[(72, 700, "compressed span")]], compress=True)
+    assert b"FlateDecode" in raw
+    assert extract_pdf(raw)["text"] == "compressed span"
+
+
+def test_reading_order_sorts_by_y_desc_then_x():
+    # emit spans out of order; parser must sort (page, -y, x)
+    raw = build_pdf([[(300, 650, "gamma"), (72, 700, "alpha"), (200, 700, "beta")]])
+    assert extract_pdf(raw)["text"] == "alpha beta gamma"
+
+
+def test_multipage_order():
+    raw = build_pdf([[(72, 700, "page one")], [(72, 700, "page two")]])
+    assert extract_pdf(raw)["text"] == "page one page two"
+
+
+def test_string_escapes():
+    raw = build_pdf([[(72, 700, r"parens (nested) and \ backslash")]])
+    assert extract_pdf(raw)["text"] == r"parens (nested) and \ backslash"
+
+
+def test_tj_array_concat():
+    # hand-rolled TJ with kerning numbers between strings
+    body = b"BT 72 700 Td [(hel) -20 (lo) 10 ( world)] TJ ET"
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n"
+        + body
+        + b"\nendstream\nendobj\ntrailer\n%%EOF"
+    )
+    assert extract_pdf(raw)["text"] == "hello world"
+
+
+def test_spans_offsets_valid():
+    raw = build_pdf([[(72, 700, "aa"), (72, 680, "bbb")]])
+    r = extract_pdf(raw)
+    for idx, s, e, cls in r["spans"]:
+        assert cls == "content"
+        assert r["text"][s:e] in ("aa", "bbb")
+
+
+def test_corrupt_stream_no_crash():
+    raw = b"%PDF-1.4\nstream\n" + zlib.compress(b"BT (x) Tj ET")[:5] + b"\nendstream\n%%EOF"
+    r = extract_pdf(raw)
+    assert isinstance(r["text"], str)
