@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship extraction over sf0.001 documents wrapped as
+                 Common-Crawl-style pages (SURVEY.md §7.1 slice).
+queries()      — the SURVEY.md §2 operator battery + training-data-pipeline
+                 operators (dedup / similarity / text analysis / multimodal)
+                 + flagship extraction queries.
+oracle_sql()   — matching DuckDB ANSI SQL for every SQL-expressible entry.
+
+Implementation lives in greenocr_spark.battery / battery_ml (registry).
 """
 
 from __future__ import annotations
@@ -14,25 +17,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry() -> dict:
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml  # noqa: F401  (registers into b.REGISTRY)
+
+    return b.REGISTRY
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    reg = _registry()
+    fn, _ = reg["ex1_extract_wrapped"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins; omitted entries get the driver's rows-only check."""
+    return {name: sql for name, (_, sql) in _registry().items() if sql is not None}

@@ -1,0 +1,663 @@
+"""Operator battery: every SURVEY.md §2 operator as a (Spark query, DuckDB
+oracle SQL) pair over the driver's synthetic tables.
+
+Registry contract (driver: __spark_entry__.py):
+- each Spark callable takes (spark, sf_dir) and returns a DataFrame;
+- the oracle is ANSI SQL DuckDB runs on the same parquet (views
+  pre-registered per table name);
+- column names are aliased identically on both sides (driver sorts columns
+  by name before value-hashing);
+- floats that pass through order-dependent accumulation are rounded; sums
+  of 2-decimal money go through exact decimal; timestamps are emitted as
+  formatted strings (engine-neutral).
+
+Oracle-less entries (value is None) are genuinely non-SQL-expressible
+(extraction over binary payloads, fixture-backed pipelines) — the driver
+records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REGISTRY: dict = {}  # name -> (callable, oracle_sql | None)
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col):
+    """Exact money sum: 2-decimal doubles → decimal → sum → double."""
+    return F.sum(col.cast("decimal(38,2)")).cast("double")
+
+
+# =========================================================================
+# Scans / projections / filters  (SURVEY §2.1, §2.2)
+# =========================================================================
+
+
+@q(
+    "s1_scan_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_quantity > 45""",
+)
+def s1_scan_project(spark, sf_dir):
+    # P10 + predicate pushdown: filter and projection reach the parquet scan
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@q(
+    "p1_null_filter",
+    """SELECT event_type, count(*) AS n FROM events
+       WHERE props IS NOT NULL AND value IS NOT NULL
+       GROUP BY event_type""",
+)
+def p1_null_filter(spark, sf_dir):
+    # P1/P4/P5: malformed-row drop as null-safe filters
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("props").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "p6_regex_strip",
+    """SELECT doc_id,
+              regexp_replace(text, '[^a-z ]', '', 'g') AS clean_text
+       FROM documents WHERE n_chars < 120""",
+)
+def p6_regex_strip(spark, sf_dir):
+    # P6: vocab-membership projection — drop chars outside the "vocabulary"
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") < 120)
+        .select("doc_id", F.regexp_replace("text", "[^a-z ]", "").alias("clean_text"))
+    )
+
+
+@q(
+    "p7_clamp_math",
+    """SELECT p_partkey,
+              least(greatest(p_size, 10), 40) AS size_clamped,
+              CAST(ceil(p_retailprice / 32) * 32 AS DOUBLE) AS price_bucket
+       FROM part""",
+)
+def p7_clamp_math(spark, sf_dir):
+    # F9 clamp + F11 ceil-to-multiple (reference train.py:321,839)
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.least(F.greatest(F.col("p_size"), F.lit(10)), F.lit(40)).alias("size_clamped"),
+        (F.ceil(F.col("p_retailprice") / 32) * 32).cast("double").alias("price_bucket"),
+    )
+
+
+@q(
+    "f12_ctc_width_law",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(ceil((2 * l_quantity - 1) * 32 * 1.1) AS BIGINT) AS min_width
+       FROM lineitem WHERE l_linenumber = 1""",
+)
+def f12_ctc_width_law(spark, sf_dir):
+    # F12: the reference's CTC feasibility law width ≥ (2·len−1)·32·1.1
+    # (train.py:828-830) as a vectorized expression
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ceil((2 * F.col("l_quantity") - 1) * 32 * 1.1).cast("long").alias("min_width"),
+    )
+
+
+# =========================================================================
+# Joins  (SURVEY §2.3)
+# =========================================================================
+
+
+@q(
+    "j1_broadcast_join_agg",
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+              CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_mktsegment""",
+)
+def j1_broadcast_join_agg(spark, sf_dir):
+    # J1: the dict-lookup join (train.py:889-896) as an explicit broadcast
+    # hash join — customer is the small dim, no shuffle of orders
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), _dec(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@q(
+    "j2_brand_quantity",
+    """SELECT p.p_brand, count(*) AS n, round(avg(l.l_quantity), 4) AS avg_qty
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_brand""",
+)
+def j2_brand_quantity(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l_quantity"), 4).alias("avg_qty"))
+    )
+
+
+@q(
+    "j5_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+)
+def j5_semi_join(spark, sf_dir):
+    # P2: label-existence filter as left-semi join (train.py:941-942)
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q(
+    "j6_anti_join",
+    """SELECT c_custkey FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+def j6_anti_join(spark, sf_dir):
+    # J5: the resume anti-join pattern (north rule) on the star schema
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "j7_range_join",
+    """SELECT s.s_nationkey AS nationkey, count(*) AS n_pairs
+       FROM supplier s JOIN customer c
+         ON s.s_nationkey = c.c_nationkey AND s.s_acctbal < c.c_acctbal
+       GROUP BY s.s_nationkey""",
+)
+def j7_range_join(spark, sf_dir):
+    # J7: non-equi range join (equi key + range predicate)
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal))
+        .groupBy(s.s_nationkey.alias("nationkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@q(
+    "j8_asof_join",
+    """SELECT o.o_orderkey,
+              strftime((SELECT max(e.ts) FROM events e
+                        WHERE e.user_id = o.o_custkey % 100
+                          AND e.ts <= o.o_orderdate), '%Y-%m-%d %H:%M:%S') AS asof_ts
+       FROM orders o WHERE o.o_orderkey % 17 = 0""",
+)
+def j8_asof_join(spark, sf_dir):
+    # J7 as-of join via the scalable union+window trick (no per-row subquery):
+    # union event rows and probe rows per key, one ordered window pass, carry
+    # the last event timestamp forward with last(ignorenulls).
+    e = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts"), F.lit(0).alias("is_probe"),
+        F.col("ts").alias("ev_ts"), F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_custkey") % 100).alias("k"), F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("is_probe"), F.lit(None).cast("timestamp").alias("ev_ts"),
+        F.col("o_orderkey"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.unionByName(o)
+        .withColumn("asof", F.last("ev_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "o_orderkey", F.date_format("asof", "yyyy-MM-dd HH:mm:ss").alias("asof_ts")
+        )
+    )
+
+
+# =========================================================================
+# Aggregations  (SURVEY §2.4)
+# =========================================================================
+
+
+@q(
+    "a1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS n
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def a1_pricing_summary(spark, sf_dir):
+    # A4: the running sum/count/avg metrics loop (train.py:1193-1198) as one
+    # partial+final aggregate — TPC-H Q1 shape
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec(F.col("l_quantity")).alias("sum_qty"),
+        _dec(F.col("l_extendedprice")).alias("sum_base"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "a5_argmin_per_group",
+    """SELECT event_type, event_id AS min_event_id, round(value, 6) AS min_value
+       FROM (SELECT event_type, event_id, value,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS rn
+             FROM events) WHERE rn = 1""",
+)
+def a5_argmin_per_group(spark, sf_dir):
+    # A5/O2: argmin with deterministic tie-break (best-checkpoint selection,
+    # train.py:1201-1207)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("min_event_id"),
+            F.round("value", 6).alias("min_value"),
+        )
+    )
+
+
+@q(
+    "a6_weighted_avg",
+    """SELECT l_returnflag,
+              round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS w_avg
+       FROM lineitem WHERE l_discount > 0 GROUP BY l_returnflag""",
+)
+def a6_weighted_avg(spark, sf_dir):
+    # A6: merge_best_states weighted average Σw·x/Σw (train.py:202-220) as
+    # the classic partial+final aggregate
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0)
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")) / F.sum("l_discount"), 4
+        ).alias("w_avg")
+    )
+
+
+@q(
+    "a7_percentile",
+    """SELECT event_type,
+              round(quantile_cont(value, 0.01), 4) AS p01,
+              round(quantile_cont(value, 0.5), 4) AS p50,
+              round(quantile_cont(value, 0.99), 4) AS p99
+       FROM events GROUP BY event_type""",
+)
+def a7_percentile(spark, sf_dir):
+    # A7: the 1%/99% contrast-stretch percentiles (exe_t.py:253-262) as
+    # exact interpolated percentiles
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.01)), 4).alias("p01"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+    )
+
+
+@q(
+    "a2_distinct_chars",
+    """SELECT DISTINCT unnest(regexp_extract_all(text, '.')) AS ch
+       FROM documents""",
+)
+def a2_distinct_chars(spark, sf_dir):
+    # A2: unique character inventory (uniqueLabels.py:4-13)
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.regexp_extract_all("text", F.lit("."), F.lit(0))).alias("ch"))
+        .distinct()
+    )
+
+
+@q(
+    "a3_minmax",
+    """SELECT o_orderpriority, min(o_totalprice) AS min_price,
+              max(o_totalprice) AS max_price,
+              CAST(max(o_orderkey) AS BIGINT) AS max_key
+       FROM orders GROUP BY o_orderpriority""",
+)
+def a3_minmax(spark, sf_dir):
+    # A3: batch max-width aggregate (exe_t.py:166); min/max are exact on
+    # doubles regardless of order
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )
+
+
+@q(
+    "a11_rollup",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
+def a11_rollup(spark, sf_dir):
+    # A11: grouping sets / rollup for metrics reporting
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "a13_count_distinct",
+    """SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs
+       FROM documents GROUP BY lang""",
+)
+def a13_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.countDistinct("source").alias("n_sources"), F.count("*").alias("n_docs"))
+    )
+
+
+@q("a12_approx_distinct", None)  # approx sketches differ per engine → rows-only
+def a12_approx_distinct(spark, sf_dir):
+    # A12: approx_count_distinct for dedup metrics at 10^12 scale (HLL —
+    # constant memory per partition, map-side combinable)
+    return (
+        t(spark, sf_dir, "events")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+# =========================================================================
+# Windows / ordered-sequence operators  (SURVEY §2.5)
+# =========================================================================
+
+
+@q(
+    "w1_ctc_collapse",
+    """SELECT user_id, event_id, event_type FROM (
+         SELECT user_id, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events)
+       WHERE prev IS NULL OR event_type <> prev""",
+)
+def w1_ctc_collapse(spark, sf_dir):
+    # W1: CTC greedy decode as a window op — emit only where the class
+    # changes vs the previous timestep (exe_t.py:420-427). The blank-drop
+    # half lives in the extraction pipeline; here the collapse half runs
+    # on the events sequence.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@q(
+    "w7_topk_per_group",
+    """SELECT user_id, event_id, round(value, 6) AS value, rn FROM (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rn
+         FROM events) WHERE rn <= 3""",
+)
+def w7_topk_per_group(spark, sf_dir):
+    # W7/O4: ranking + top-k per group
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "rn")
+    )
+
+
+@q(
+    "w3_moving_avg",
+    """SELECT event_id,
+              round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS smooth
+       FROM events""",
+)
+def w3_moving_avg(spark, sf_dir):
+    # W3: the 3-tap neighborhood smoothing frame (gaussian_blur2d analog,
+    # exe_t.py:299) as a window moving average
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-1, 1)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", F.round(F.avg("value").over(w), 4).alias("smooth"))
+    )
+
+
+@q(
+    "w5_second_diff",
+    """SELECT event_id,
+              round(value - 2 * lag(value) OVER w + lag(value, 2) OVER w, 4) AS laplace
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def w5_second_diff(spark, sf_dir):
+    # W5: Laplacian second difference (train.py:630) over the event sequence
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(
+            F.col("value") - 2 * F.lag("value", 1).over(w) + F.lag("value", 2).over(w), 4
+        ).alias("laplace"),
+    )
+
+
+@q(
+    "w8_first_last",
+    """SELECT DISTINCT user_id,
+              first_value(event_type) OVER w AS first_type,
+              last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def w8_first_last(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(wfull).alias("last_type"),
+        )
+        .distinct()
+    )
+
+
+# =========================================================================
+# Sorts / limits / set ops  (SURVEY §2.6, §2.7)
+# =========================================================================
+
+
+@q(
+    "o1_topk_orders",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def o1_topk_orders(spark, sf_dir):
+    # O2/O3: global top-k (TakeOrderedAndProject — no full sort at scale)
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "u1_union_tagged",
+    """SELECT src, count(*) AS n FROM (
+         SELECT 'high' AS src FROM orders WHERE o_totalprice > 300000
+         UNION ALL
+         SELECT 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT')
+       GROUP BY src""",
+)
+def u1_union_tagged(spark, sf_dir):
+    # U1: multi-source union with source tag (train.py:885-989)
+    o = t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 300000).select(F.lit("high").alias("src"))
+    ur = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src")
+    )
+    return hi.unionByName(ur).groupBy("src").agg(F.count("*").alias("n"))
+
+
+@q(
+    "u2_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""",
+)
+def u2_intersect(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.intersect(b)
+
+
+@q(
+    "u3_except",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 0
+       EXCEPT
+       SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000""",
+)
+def u3_except(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+# =========================================================================
+# Scalar functions  (SURVEY §2.8)
+# =========================================================================
+
+
+@q(
+    "f1_canon_ws",
+    """SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS canon
+       FROM documents""",
+)
+def f1_canon_ws(spark, sf_dir):
+    # F1: whitespace canonicalization — the byte-identity-critical final step
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("canon")
+    )
+
+
+@q(
+    "f2_string_suite",
+    """SELECT c_custkey,
+              split_part(c_name, '#', 2) AS cust_num,
+              upper(c_mktsegment) AS seg,
+              length(c_name) AS name_len,
+              concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+       FROM customer""",
+)
+def f2_string_suite(spark, sf_dir):
+    # F2-F6: split/concat/upper/length over the 'Customer#000000042' shape
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.split("c_name", "#").getItem(1).alias("cust_num"),
+        F.upper("c_mktsegment").alias("seg"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+@q(
+    "f18_date_trunc",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1""",
+)
+def f18_date_trunc(spark, sf_dir):
+    # F18: event-time bucketing over warc_ts-like timestamps
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@q(
+    "f19_json_extract",
+    """SELECT json_extract_string(props, '$.k') AS k, count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def f19_json_extract(spark, sf_dir):
+    # F19: JSON scalar extraction from the props column
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.get_json_object("props", "$.k").alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "f20_url_host",
+    """SELECT doc_id, lang || '.wikipedia.org' AS host FROM documents""",
+)
+def f20_url_host(spark, sf_dir):
+    # F20: host extraction feeds skew salting; construct a url, then parse
+    # the host back out with the engine's parse_url
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("lang"), F.lit(".wikipedia.org/doc/"),
+                   F.col("doc_id").cast("string"))
+    return d.select("doc_id", F.parse_url(url, F.lit("HOST")).alias("host"))

@@ -1,0 +1,595 @@
+"""Training-data-pipeline operator battery: deduplication, similarity
+search, text analysis, multimodal plumbing, and the flagship extraction
+queries (task brief: first-class components beyond the reference's ops).
+
+Same registry contract as greenocr_spark.battery. All hash arithmetic is
+md5-based (identical in Spark and DuckDB) so even MinHash/SimHash have
+exact SQL oracles; float paths are cast to double *before* arithmetic so
+both engines run the same IEEE ops in the same order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from greenocr_spark.battery import q, t
+
+# ---- shared hash/shingle expression builders (Spark SQL + DuckDB SQL) -----
+
+P_MOD = 2147483647  # 2^31-1
+MINHASH_AB = [(2971, 1013), (4111, 2707), (5737, 331), (7001, 977)]
+
+
+def _spark_words(col="text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def _duck_words(col="text"):
+    return f"regexp_split_to_array(trim({col}), '\\s+')"
+
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+
+@q(
+    "dd1_dedup_exact",
+    """SELECT sig, count(*) AS n_dups, min(doc_id) AS keep_doc
+       FROM (SELECT doc_id, md5(substring(text, 1, 20)) AS sig FROM documents)
+       GROUP BY sig HAVING count(*) > 1""",
+)
+def dd1_dedup_exact(spark, sf_dir):
+    # Exact dedup: hash-groupBy on a canonical signature; at 10^12 rows this
+    # is one shuffle on the md5 key with map-side partial counts.
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.substring("text", 1, 20)).alias("sig"))
+        .groupBy("sig")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _minhash_signature_df(spark, sf_dir):
+    """doc_id + 4 minhash values over word-3-shingles (md5-int based)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", _spark_words().alias("w"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                    F.element_at("w", i + 3),
+                ),
+            )
+        ).alias("sh"),
+    ).distinct()
+    x = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % P_MOD
+    sh = sh.select("doc_id", x.alias("x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % P_MOD).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_ORACLE_SIG = f"""
+    WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+           FROM w, unnest(range(1, len(ws) - 1)) AS r(i)),
+    xs AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) % {P_MOD} AS x
+           FROM sh)
+    SELECT doc_id,
+           {", ".join(f"min(({a} * x + {b}) % {P_MOD}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_AB))}
+    FROM xs GROUP BY doc_id
+"""
+
+
+@q("dd2_minhash_signature", _MINHASH_ORACLE_SIG)
+def dd2_minhash_signature(spark, sf_dir):
+    # MinHash: shingle → md5-int → k permutations → min. Exactly mirrored in
+    # SQL because min over a deterministic set is order-independent.
+    return _minhash_signature_df(spark, sf_dir)
+
+
+@q(
+    "dd3_minhash_band_pairs",
+    f"""WITH sig AS ({_MINHASH_ORACLE_SIG}),
+    bands AS (
+        SELECT doc_id, i AS band, CASE i
+            WHEN 0 THEN mh0 % 1024 WHEN 1 THEN mh1 % 1024
+            WHEN 2 THEN mh2 % 1024 ELSE mh3 % 1024 END AS bkey
+        FROM sig, unnest([0,1,2,3]) AS u(i))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                             AND a.doc_id < b.doc_id""",
+)
+def dd3_minhash_band_pairs(spark, sf_dir):
+    # LSH banding: bucket-join on (band, banded-minhash); candidate pairs =
+    # same bucket in any band. The scale path: the self-join is on the tiny
+    # (band,bkey) key space, never all-pairs.
+    sig = _minhash_signature_df(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"mh{i}") % 1024 for i in range(4)])),
+    ).withColumnsRenamed({"pos": "band", "col": "bkey"})
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@q(
+    "dd4_word_jaccard_pairs",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents
+                   WHERE doc_id < 40),
+    uw AS (SELECT DISTINCT doc_id, unnest(ws) AS word FROM w),
+    cnt AS (SELECT doc_id, count(*) AS n FROM uw GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM uw a JOIN uw b ON a.word = b.word AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(c / (ca.n + cb.n - c), 4) AS jaccard
+    FROM common JOIN cnt ca ON ca.doc_id = doc_a
+                JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE c / (ca.n + cb.n - c) >= 0.5""",
+)
+def dd4_word_jaccard_pairs(spark, sf_dir):
+    # n-gram (n=1) Jaccard near-dup: explode distinct tokens, self-join on
+    # token, |A∩B| / (|A|+|B|−|A∩B|). At scale the join key is the token —
+    # skewed common tokens would be dropped by an idf filter (kept here for
+    # oracle exactness; the sf corpus vocabulary is tiny).
+    uw = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.explode(_spark_words()).alias("word"))
+        .distinct()
+    )
+    cnt = uw.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = uw.alias("a"), uw.alias("b")
+    common = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jac = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+    return (
+        common.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    recombine = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
+    return f"""
+    WITH uw AS (SELECT DISTINCT doc_id, unnest({_duck_words()}) AS word
+                FROM documents),
+    vs AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(word), 1, 8)) AS BIGINT) AS v
+           FROM uw),
+    bits AS (SELECT doc_id, {bit_sums} FROM vs GROUP BY doc_id)
+    SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@q("dd5_simhash", _simhash_oracle())
+def dd5_simhash(spark, sf_dir):
+    # SimHash: per distinct token a 32-bit md5 value; each of 16 bits votes
+    # ±1; the sign vector is the fingerprint. Near-dups differ in few bits.
+    uw = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_spark_words()).alias("word"))
+        .distinct()
+    )
+    v = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    vs = uw.select("doc_id", v.alias("v"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    bits = vs.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# =========================================================================
+# Similarity search (embeddings)
+# =========================================================================
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))"
+_NORM_E = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+_NORM_Q = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))"
+
+
+@q(
+    "ann1_cosine_topk",
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_DOT} / ({_NORM_E} * {_NORM_Q}), 4) AS cos
+    FROM embeddings e, q WHERE e.vec_id <> 0
+    ORDER BY {_DOT} / ({_NORM_E} * {_NORM_Q}) DESC, e.vec_id LIMIT 10""",
+)
+def ann1_cosine_topk(spark, sf_dir):
+    # Brute-force cosine top-k: the correctness baseline for ANN. All math
+    # in float64 after exact float32→float64 widening; JVM-side zip_with +
+    # aggregate (no Python). At scale: broadcast the query vector(s), one
+    # narrow pass + TakeOrdered — no shuffle of the corpus.
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(dbl(F.col("embedding")), dbl(F.col("qe")), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(dbl(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = dot / (norm(F.col("embedding")) * norm(F.col("qe")))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cos.alias("_cos"))
+        .orderBy(F.desc("_cos"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_cos", 4).alias("cos"))
+    )
+
+
+def _lsh_bucket_sql() -> str:
+    # 8 deterministic ±1 hyperplanes: sign pattern of plane b at dim i is
+    # +1 iff (i*(b+3)) % 7 < 4  (i is 0-based dim index)
+    terms = []
+    for b in range(8):
+        dot = (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"CASE WHEN ((i - 1) * {b + 3}) % 7 < 4 THEN CAST(embedding[i] AS DOUBLE) "
+            f"ELSE -CAST(embedding[i] AS DOUBLE) END))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+    return (
+        f"SELECT bucket, count(*) AS n FROM (SELECT CAST({' + '.join(terms)} AS BIGINT) "
+        f"AS bucket FROM embeddings) GROUP BY bucket"
+    )
+
+
+@q("ann2_lsh_buckets", _lsh_bucket_sql())
+def ann2_lsh_buckets(spark, sf_dir):
+    # Sign-LSH bucketing: the ANN scale path — candidate generation becomes
+    # an equi-join on an 8-bit bucket instead of an all-pairs scan.
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bucket = None
+    for b in range(8):
+        signed = F.zip_with(
+            dbl,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda x, i: F.when((i * (b + 3)) % 7 < 4, x).otherwise(-x),
+        )
+        dot = F.aggregate(signed, F.lit(0.0), lambda a, x: a + x)
+        term = F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return (
+        e.select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "arr1_array_ops",
+    """SELECT vec_id, len(embedding) AS dim,
+              round(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
+              round(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+              round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                    / len(embedding), 4) AS mean_dim
+       FROM embeddings WHERE vec_id < 100""",
+)
+def arr1_array_ops(spark, sf_dir):
+    # F17/A9/J4: array slice/size/aggregate — the mean-collapse analog
+    # (adaptive_avg_pool, exe_t.py:405) as array aggregation
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.aggregate(F.transform(dbl, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    sm = F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(dbl, 1), 4).alias("first_dim"),
+        F.round(F.sqrt(sq), 4).alias("l2"),
+        F.round(sm / F.size("embedding"), 4).alias("mean_dim"),
+    )
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+
+@q(
+    "tx1_token_count",
+    f"""SELECT doc_id,
+               len({_duck_words()}) AS n_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish
+        FROM documents""",
+)
+def tx1_token_count(spark, sf_dir):
+    # whitespace tokens + BPE-ish regex tokens
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_spark_words()).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_ish"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "to", "in", "and", "value", "table")
+
+
+@q(
+    "tx2_quality_score",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents)
+    SELECT doc_id,
+           round(len(list_filter(ws, x -> x IN {str(tuple(_STOPWORDS))}))
+                 / len(ws), 4) AS stop_ratio,
+           round(list_sum(list_transform(ws, x -> length(x)))
+                 / CAST(len(ws) AS DOUBLE), 4) AS mean_wlen
+    FROM w""",
+)
+def tx2_quality_score(spark, sf_dir):
+    # quality scoring: stopword ratio + mean token length (length/punct
+    # ratio family) — all JVM-side array lambdas
+    ws = _spark_words()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda x: F.array_contains(stop_arr, x)))
+    sum_len = F.aggregate(
+        F.transform(ws, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(n_stop / F.size(ws), 4).alias("stop_ratio"),
+        F.round(sum_len / F.size(ws).cast("double"), 4).alias("mean_wlen"),
+    )
+
+
+_EN_HINTS = ("the", "a", "of", "and", "value", "table", "fast")
+_DE_HINTS = ("der", "die", "das", "und", "nicht", "mit")
+
+
+@q(
+    "tx3_lang_id",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(list_filter(ws, x -> x IN {str(tuple(_EN_HINTS))}))
+                     >= len(list_filter(ws, x -> x IN {str(tuple(_DE_HINTS))}))
+                     AND len(list_filter(ws, x -> x IN {str(tuple(_EN_HINTS))})) > 0
+                THEN 'en'
+                WHEN len(list_filter(ws, x -> x IN {str(tuple(_DE_HINTS))})) > 0
+                THEN 'de' ELSE 'und' END AS pred_lang
+    FROM w""",
+)
+def tx3_lang_id(spark, sf_dir):
+    # language-ID n-gram/stopword heuristic (scale path: broadcast hint
+    # lists; one narrow pass)
+    ws = _spark_words()
+    en_arr = F.array(*[F.lit(s) for s in _EN_HINTS])
+    de_arr = F.array(*[F.lit(s) for s in _DE_HINTS])
+    n_en = F.size(F.filter(ws, lambda x: F.array_contains(en_arr, x)))
+    n_de = F.size(F.filter(ws, lambda x: F.array_contains(de_arr, x)))
+    pred = (
+        F.when((n_en >= n_de) & (n_en > 0), F.lit("en"))
+        .when(n_de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return t(spark, sf_dir, "documents").select("doc_id", pred.alias("pred_lang"))
+
+
+@q(
+    "tx4_fingerprint",
+    """SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+       FROM documents""",
+)
+def tx4_fingerprint(spark, sf_dir):
+    # document fingerprint: md5 of canonical text (the rolling-hash variant
+    # is tx5, oracle-less)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("fp"),
+    )
+
+
+@q("tx5_rolling_hash", None)  # polynomial rolling hash — no portable SQL twin
+def tx5_rolling_hash(spark, sf_dir):
+    # Karp-Rabin-style rolling hash over characters, JVM-side aggregate
+    chars = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), "")
+    rolled = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % 1000000007,
+    )
+    return t(spark, sf_dir, "documents").select("doc_id", rolled.alias("rhash"))
+
+
+@q(
+    "p9_rlike_filter",
+    """SELECT doc_id FROM documents WHERE regexp_matches(text, 'window .*batch')""",
+)
+def p9_rlike_filter(spark, sf_dir):
+    # P9: regex predicate (the commented-out checkpoint regex filter,
+    # exe_t.py:463-466)
+    return t(spark, sf_dir, "documents").filter(F.col("text").rlike("window .*batch")).select("doc_id")
+
+
+# =========================================================================
+# Multimodal plumbing (binary payload → typed metadata; decode stubbed)
+# =========================================================================
+
+
+@q(
+    "mm1_binary_meta",
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS payload_len,
+              CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_patches,
+              ascii(substring(text, 1, 1)) AS first_byte
+       FROM documents""",
+)
+def mm1_binary_meta(spark, sf_dir):
+    # Multimodal columns: opaque binary payload + typed metadata, processed
+    # by an Arrow-batched mapInPandas stage. The "decode" here is a
+    # deterministic stub (container has no image/audio libs — see
+    # operators/multimodal.py for the real-plumbing stub surface); the
+    # Spark-side schema/batching/UDF shape is the real, tested thing.
+    from greenocr_spark.operators.multimodal import binary_meta
+
+    payload = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return binary_meta(payload, id_col="doc_id")
+
+
+# =========================================================================
+# Flagship extraction queries
+# =========================================================================
+
+_WRAP_ORACLE = """
+    SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) >= 15
+                THEN regexp_replace(trim(text), '\\s+', ' ', 'g') ELSE '' END AS text
+    FROM documents
+"""
+
+
+@q("ex1_extract_wrapped", _WRAP_ORACLE)
+def ex1_extract_wrapped(spark, sf_dir):
+    # THE flagship, value-checked end to end: wrap each document in a
+    # boilerplate-laden page (nav/title/footer, all link-dense or short →
+    # classified boilerplate), run the full Arrow-batched extraction
+    # pipeline, and the oracle is the closed form the spec guarantees:
+    # extracted text == canonical main paragraph.
+    from greenocr_spark.operators.extract import extract_pages
+
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title></head><body>'
+            '<nav><a href="/">Home</a> <a href="/about">About</a></nav><p>'
+        ),
+        F.col("text"),
+        F.lit('</p><footer><a href="/terms">Terms</a></footer></body></html>'),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return extract_pages(pages).select("url", "text")
+
+
+@q("ex2_extract_fixture_pages", None)  # binary degradation matrix — not SQL
+def ex2_extract_fixture_pages(spark, sf_dir):
+    # Full degradation-matrix pipeline over generated fixture pages
+    # (entity soup, unclosed tags, charset quirks, PDFs, ...). Byte-identity
+    # vs the pure-Python reference is asserted in tests/test_golden.py; here
+    # the driver gets a rows-only stability check.
+    from greenocr_spark.operators.extract import extract_pages
+
+    path = _fixture_pages_path(400)
+    pages = spark.read.parquet(path)
+    return extract_pages(pages).select(
+        "url", "text", "n_blocks", "n_content", "n_boilerplate", "kind"
+    )
+
+
+def _fixture_pages_path(n: int) -> str:
+    path = f"/tmp/greenocr_fixture_pages_{n}.parquet"
+    if not os.path.exists(path):
+        from greenocr_spark.fixtures import write_pages_parquet
+
+        write_pages_parquet(path, n)
+    return path
+
+
+# =========================================================================
+# Streaming face (availableNow batch over the same stage functions)
+# =========================================================================
+
+
+@q(
+    "st1_stream_hourly",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, count(*) AS n
+       FROM events GROUP BY 1, 2""",
+)
+def st1_stream_hourly(spark, sf_dir):
+    # S12/§2.10: Structured Streaming ingestion face — file source over the
+    # same events data, watermarked tumbling window, availableNow trigger,
+    # memory sink. Same results as the batch oracle because availableNow
+    # drains everything.
+    import hashlib as _hashlib
+    import uuid as _uuid
+
+    schema = t(spark, sf_dir, "events").schema
+    name = f"st1_{_uuid.uuid4().hex[:8]}"
+    # the file streaming source requires a directory: expose the single
+    # parquet file through a symlinked dir (read-only testdata untouched)
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = f"/tmp/greenocr_stream_events_{key}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (session UTC)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
+    qh = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    return spark.table(name)

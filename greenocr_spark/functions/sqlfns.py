@@ -1,0 +1,48 @@
+"""JVM-side (Catalyst-native) column expressions used across the engine.
+
+Everything here compiles into whole-stage codegen — no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canon_ws_expr(col) -> Column:
+    """F1 whitespace canonicalization as a JVM expression (for SQL-side
+    queries; the byte-identity path uses core.canon_ws inside the UDF).
+
+    Reference analog: ' '.join(text.split()) (exe_t.py:531-532)."""
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
+def host_expr(url_col) -> Column:
+    """Extract the host from a url (F20) — feeds skew salting."""
+    return F.parse_url(F.col(url_col) if isinstance(url_col, str) else url_col, F.lit("HOST"))
+
+
+def salt_expr(url_col, n_salts: int) -> Column:
+    """Deterministic per-url salt in [0, n_salts) (F8 made deterministic —
+    the reference's random 5-char filename prefix, ENHANCMENT24.py:80-81,
+    replaced by a pure function of the row)."""
+    return F.pmod(F.xxhash64(url_col), F.lit(n_salts))
+
+
+def salted_part_id(url_col, n_parts: int, n_salts: int = 8) -> Column:
+    """Partition key: hash of (host, salt(url)) mod n_parts.
+
+    Host-level locality with explicit skew mitigation (north rule): a host
+    carrying 30% of rows is spread over n_salts distinct partitions instead
+    of melting one task — the width-bucket analog (X1, train.py:899-907)."""
+    return F.pmod(
+        F.xxhash64(host_expr(url_col), salt_expr(url_col, n_salts)),
+        F.lit(n_parts),
+    )
+
+
+def pdf_magic_expr(html_col) -> Column:
+    """Router predicate: binary payload starts with %PDF- (the RealESRGAN
+    raw-binary branch analog, ENHANCMENT24.py:93-107)."""
+    col = F.col(html_col) if isinstance(html_col, str) else html_col
+    return F.startswith(col, F.lit(b"%PDF-"))

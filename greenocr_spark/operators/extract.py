@@ -1,0 +1,106 @@
+"""The vectorized extraction stage: DataFrame → DataFrame via mapInPandas.
+
+This is UD1+UD3+UD5+UD6 of SURVEY.md §2.9 fused into one Arrow-batched
+stage (one JVM↔Python boundary crossing per batch, never per row). The
+per-document math is greenocr_spark.extractor.core — the byte-identity
+spec — called unmodified, so Spark output ≡ reference extractor output.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from greenocr_spark.extractor.core import DEFAULT_CONFIG, ExtractorConfig, extract_document
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("block_idx", IntegerType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("cls", StringType()),
+        ]
+    )
+)
+
+EXTRACT_FIELDS = [
+    StructField("url", StringType()),
+    StructField("text", StringType()),
+    StructField("spans", SPAN_TYPE),
+    StructField("n_blocks", IntegerType()),
+    StructField("n_content", IntegerType()),
+    StructField("n_boilerplate", IntegerType()),
+    StructField("bytes_in", LongType()),
+    StructField("bytes_out", LongType()),
+    StructField("kind", StringType()),
+]
+
+
+def extract_schema(passthrough: list | None = None, input_schema: StructType | None = None) -> StructType:
+    fields = list(EXTRACT_FIELDS)
+    if passthrough:
+        by_name = {f.name: f for f in (input_schema.fields if input_schema else [])}
+        for name in passthrough:
+            fields.append(by_name[name])
+    return StructType(fields)
+
+
+def extract_pages(
+    df: DataFrame,
+    cfg: ExtractorConfig = DEFAULT_CONFIG,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Run main-content extraction over a pages DataFrame.
+
+    Input requires columns (url:string, html:binary); `passthrough` columns
+    are carried to the output unchanged (e.g. part_id). Narrow operation —
+    preserves the input's partitioning, no shuffle."""
+    schema = extract_schema(list(passthrough), df.schema)
+    keep = ["url", "html", *passthrough]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            out = {
+                "url": pdf["url"].tolist(),
+                "text": [None] * n,
+                "spans": [None] * n,
+                "n_blocks": [0] * n,
+                "n_content": [0] * n,
+                "n_boilerplate": [0] * n,
+                "bytes_in": [0] * n,
+                "bytes_out": [0] * n,
+                "kind": [""] * n,
+            }
+            for i, raw in enumerate(pdf["html"].tolist()):
+                r = extract_document(raw, cfg)
+                out["text"][i] = r["text"]
+                out["spans"][i] = [
+                    {"block_idx": b, "start": s, "end": e, "cls": c} for b, s, e, c in r["spans"]
+                ]
+                out["n_blocks"][i] = r["n_blocks"]
+                out["n_content"][i] = r["n_content"]
+                out["n_boilerplate"][i] = r["n_boilerplate"]
+                out["bytes_in"][i] = len(raw) if raw is not None else 0
+                out["bytes_out"][i] = len(r["text"].encode("utf-8"))
+                out["kind"][i] = r["kind"]
+            res = pd.DataFrame(out)
+            for name in passthrough:
+                res[name] = pdf[name].values
+            yield res
+
+    return df.select(*keep).mapInPandas(run, schema=schema)

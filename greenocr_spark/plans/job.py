@@ -1,0 +1,129 @@
+"""The flagship extraction job: salted partitioning, manifest lineage,
+checkpoint-resume by anti-join (north rule; SURVEY.md §3.1, §4 X7).
+
+Physical plan (one shuffle total):
+    scan pages → [anti-join done manifests: broadcast, no extra shuffle]
+    → repartition(n_parts, part_id)            ← THE shuffle
+    → sortWithinPartitions(url)                ← deterministic output order
+    → mapInPandas extract (narrow, Arrow-batched)
+    → dynamic-partition-overwrite write (idempotent per partition)
+    → metrics agg (partial map-side, tiny) → manifest append
+
+Scale notes (100 TB / 10^12 rows): the only all-data shuffle is the
+repartition on the salted key; the manifest side of the anti-join is
+n_parts rows (≤ 10^5) → always broadcast; metrics aggregation reduces to
+n_parts rows map-side before the exchange. Re-running a partition is
+idempotent via dynamic partition overwrite, so a crash between the data
+write and the manifest append self-heals on resume.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from greenocr_spark.functions.sqlfns import salted_part_id
+from greenocr_spark.operators.extract import extract_pages
+
+MANIFEST_COLS = [
+    "part_id",
+    "status",
+    "n_docs",
+    "n_content_blocks",
+    "n_boilerplate_blocks",
+    "bytes_in",
+    "bytes_out",
+    "run_id",
+]
+
+
+def _extracted_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "extracted")
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = _manifest_dir(out_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def pending_pages(
+    spark: SparkSession, pages: DataFrame, out_dir: str, n_parts: int, n_salts: int
+) -> DataFrame:
+    """Attach part_id and anti-join away partitions already marked done
+    (J5 — the reference's commented-out skip-if-exists, ENHANCMENT24.py:86-87,
+    done properly)."""
+    df = pages.withColumn("part_id", salted_part_id(F.col("url"), n_parts, n_salts))
+    manifest = read_manifest(spark, out_dir)
+    if manifest is None:
+        return df
+    done = manifest.filter(F.col("status") == "done").select("part_id").distinct()
+    # done is ≤ n_parts rows → broadcast hash anti-join, no shuffle of df
+    return df.join(F.broadcast(done), "part_id", "left_anti")
+
+
+def run_extract_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_parts: int = 64,
+    n_salts: int = 8,
+    run_id: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Run (or resume) the extraction job. Returns the final extracted table
+    (read back from storage, all partitions)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    if resume:
+        df = pending_pages(spark, pages, out_dir, n_parts, n_salts)
+    else:
+        df = pages.withColumn("part_id", salted_part_id(F.col("url"), n_parts, n_salts))
+
+    df = df.repartition(n_parts, "part_id").sortWithinPartitions("url")
+    extracted = extract_pages(df, passthrough=("part_id",))
+
+    ext_path = _extracted_dir(out_dir)
+    (
+        extracted.write.mode("overwrite")
+        .partitionBy("part_id")
+        .parquet(ext_path)
+    )
+
+    # Metrics/lineage rows (A4/A6 analog: per-partition running stats merged
+    # by a final agg — reference train.py:1193-1207). Read back the committed
+    # output so extraction runs exactly once.
+    written = spark.read.parquet(ext_path)
+    manifest_existing = read_manifest(spark, out_dir)
+    if manifest_existing is not None:
+        done = (
+            manifest_existing.filter(F.col("status") == "done").select("part_id").distinct()
+        )
+        new_rows = written.join(F.broadcast(done), "part_id", "left_anti")
+    else:
+        new_rows = written
+    metrics = (
+        new_rows.groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_content").cast("long").alias("n_content_blocks"),
+            F.sum("n_boilerplate").cast("long").alias("n_boilerplate_blocks"),
+            F.sum("bytes_in").cast("long").alias("bytes_in"),
+            F.sum("bytes_out").cast("long").alias("bytes_out"),
+        )
+        .withColumn("status", F.lit("done"))
+        .withColumn("run_id", F.lit(run_id))
+        .select(*MANIFEST_COLS)
+    )
+    metrics.write.mode("append").parquet(_manifest_dir(out_dir))
+    return spark.read.parquet(ext_path)
