@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline suite is the flagship extraction pipeline (the north-star
+metric, reported also as docs/sec) plus the representative operator
+classes: scan+agg, broadcast join, window top-k, minhash dedup, simhash,
+cosine top-k, JSON extraction. Each query is forced end-to-end with a
+noop-format write (materializes every column, no collect bottleneck).
+
+Usage:  python bench.py [--sf-dir DIR] [--cpus N] [--repeat K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+# Pages-per-document replication for the extraction benchmark: sf0.1 has
+# 5k documents; x20 degradation-variant wrapping gives 100k distinct pages
+# (~real CC-WARC page sizes once boilerplate is attached).
+PAGE_REPLICATION = 20
+
+
+def synth_pages(spark, sf_dir: str, replication: int = PAGE_REPLICATION):
+    """Deterministically wrap each document in `replication` boilerplate-laden
+    page variants (distinct urls, varying nav/footer/link-farm degradation)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("variant")
+    d = d.select("doc_id", "source", "text", v)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"), F.lit("/v"), F.col("variant").cast("string"),
+    )
+    linkfarm = F.concat(
+        F.lit('<div><a href="/x">'),
+        F.array_join(F.array_repeat(F.lit('link</a> <a href="/y">'), 8), ""),
+        F.lit("more</a></div>"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc</title><script>var x=1;</script></head><body>"),
+        F.lit('<nav><a href="/">Home</a> <a href="/about">About</a></nav>'),
+        F.when(F.col("variant") % 3 == 0, linkfarm).otherwise(F.lit("")),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.when(F.col("variant") % 2 == 0,
+               F.lit("<aside>short note</aside>")).otherwise(F.lit("")),
+        F.lit('<footer><a href="/terms">Terms</a> &copy; 2026</footer></body></html>'),
+    )
+    return d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
+def bench_queries(spark, sf_dir: str) -> dict:
+    """name -> thunk returning a DataFrame to materialize."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml  # noqa: F401
+    from greenocr_spark.operators.extract import extract_pages
+
+    reg = b.REGISTRY
+    pages = synth_pages(spark, sf_dir)
+
+    def from_reg(name):
+        fn, _ = reg[name]
+        return lambda: fn(spark, sf_dir)
+
+    return {
+        "extract_pipeline": lambda: extract_pages(pages),
+        "a1_pricing_summary": from_reg("a1_pricing_summary"),
+        "j1_broadcast_join_agg": from_reg("j1_broadcast_join_agg"),
+        "j8_asof_join": from_reg("j8_asof_join"),
+        "w7_topk_per_group": from_reg("w7_topk_per_group"),
+        "dd2_minhash_signature": from_reg("dd2_minhash_signature"),
+        "dd5_simhash": from_reg("dd5_simhash"),
+        "ann1_cosine_topk": from_reg("ann1_cosine_topk"),
+        "f19_json_extract": from_reg("f19_json_extract"),
+    }
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--repeat", type=int, default=1, help="best-of-K per query")
+    args = ap.parse_args()
+
+    from greenocr_spark.session import build_session
+
+    spark = build_session(app_name="greenocr-bench", master=f"local[{args.cpus}]",
+                          shuffle_partitions=max(args.cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    # warm up the JVM + Python workers once (not timed)
+    materialize(spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").limit(1000))
+
+    n_pages = synth_pages(spark, args.sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, thunk in bench_queries(spark, args.sf_dir).items():
+        best = float("inf")
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            materialize(thunk())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_pages / timings["extract_pipeline"], 1)
+    print(json.dumps({
+        "metric": "headline suite wall time (extraction + operator battery)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_docs_per_sec": docs_per_sec,
+        "extract_n_pages": n_pages,
+        "cpus": args.cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Spark integration tests — the north-rule gates (SURVEY.md §5.2).
+
+1. Golden byte-identity: Spark extract_pages output == pure-Python reference
+   extractor output, per url, byte-for-byte, over the full degradation matrix.
+2. Resume invariance: run job → delete half the manifest → re-run → final
+   table identical to an uninterrupted run (X7 anti-join resume).
+3. Salt invariance: extracted text independent of n_salts.
+4. Skew spread: the Zipf-heavy host (~30% of rows) is spread across many
+   partitions by the salted key, never melted into one task.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from greenocr_spark.extractor.core import extract_document
+from greenocr_spark.fixtures import make_pages, write_pages_parquet
+from greenocr_spark.functions.sqlfns import salted_part_id
+from greenocr_spark.operators.extract import extract_pages
+from greenocr_spark.plans.job import run_extract_job
+
+N_GOLDEN = 200
+N_JOB = 1000
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    write_pages_parquet(p, N_JOB)
+    return p
+
+
+def test_golden_byte_identity(spark, tmp_path):
+    p = str(tmp_path / "golden.parquet")
+    write_pages_parquet(p, N_GOLDEN)
+    got = {
+        r["url"]: r["text"]
+        for r in extract_pages(spark.read.parquet(p)).select("url", "text").collect()
+    }
+    rows = make_pages(N_GOLDEN)
+    assert len(got) == N_GOLDEN
+    for row in rows:
+        expected = extract_document(row["html"])["text"]
+        assert got[row["url"]] == expected, row["url"]
+
+
+def test_golden_spans_match(spark, tmp_path):
+    p = str(tmp_path / "golden_spans.parquet")
+    write_pages_parquet(p, 50)
+    got = {
+        r["url"]: [(s["block_idx"], s["start"], s["end"], s["cls"]) for s in r["spans"]]
+        for r in extract_pages(spark.read.parquet(p)).select("url", "spans").collect()
+    }
+    for row in make_pages(50):
+        expected = [tuple(s) for s in extract_document(row["html"])["spans"]]
+        assert got[row["url"]] == expected, row["url"]
+
+
+def _final_state(spark, out_dir):
+    df = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    return sorted((r["url"], r["text"]) for r in df.select("url", "text").collect())
+
+
+def test_resume_invariance(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+
+    full_dir = str(tmp_path / "full")
+    run_extract_job(spark, pages, full_dir, n_parts=16, n_salts=4)
+    full = _final_state(spark, full_dir)
+    assert len(full) == N_JOB
+
+    # interrupted run: complete, then forge a "crash" by deleting half the
+    # manifest rows AND the corresponding output partitions
+    part_dir = str(tmp_path / "interrupted")
+    run_extract_job(spark, pages, part_dir, n_parts=16, n_salts=4)
+    manifest = spark.read.parquet(os.path.join(part_dir, "manifest"))
+    keep = manifest.filter(F.col("part_id") % 2 == 0)
+    dropped_parts = [r["part_id"] for r in manifest.filter(F.col("part_id") % 2 == 1).select("part_id").collect()]
+    mpath = os.path.join(part_dir, "manifest")
+    keep_rows = keep.collect()
+    for f in glob.glob(os.path.join(mpath, "*")):
+        os.remove(f)
+    spark.createDataFrame(keep_rows, manifest.schema).write.mode("overwrite").parquet(mpath)
+    for pid in dropped_parts:
+        for f in glob.glob(os.path.join(part_dir, "extracted", f"part_id={pid}", "*")):
+            os.remove(f)
+
+    # resume: must redo exactly the dropped partitions and converge
+    run_extract_job(spark, pages, part_dir, n_parts=16, n_salts=4)
+    assert _final_state(spark, part_dir) == full
+
+    # the resume run's manifest rows cover only the previously-missing parts
+    m2 = spark.read.parquet(mpath)
+    assert sorted(r["part_id"] for r in m2.select("part_id").distinct().collect()) == list(range(16))
+
+
+def test_resume_skips_done_partitions(spark, pages_path, tmp_path):
+    out = str(tmp_path / "noop_resume")
+    pages = spark.read.parquet(pages_path)
+    run_extract_job(spark, pages, out, n_parts=8, n_salts=4)
+    before = _final_state(spark, out)
+    n_manifest_before = spark.read.parquet(os.path.join(out, "manifest")).count()
+    # second run: everything done → no new manifest rows, output unchanged
+    run_extract_job(spark, pages, out, n_parts=8, n_salts=4)
+    assert _final_state(spark, out) == before
+    assert spark.read.parquet(os.path.join(out, "manifest")).count() == n_manifest_before
+
+
+def test_salt_invariance(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    a = run_extract_job(spark, pages, str(tmp_path / "s1"), n_parts=16, n_salts=1)
+    b = run_extract_job(spark, pages, str(tmp_path / "s8"), n_parts=16, n_salts=8)
+    sa = sorted((r["url"], r["text"]) for r in a.select("url", "text").collect())
+    sb = sorted((r["url"], r["text"]) for r in b.select("url", "text").collect())
+    assert sa == sb
+
+
+def test_skew_spread(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    n_parts, n_salts = 32, 8
+    dist = (
+        pages.withColumn("part_id", salted_part_id(F.col("url"), n_parts, n_salts))
+        .groupBy("part_id")
+        .count()
+        .collect()
+    )
+    counts = sorted((r["count"] for r in dist), reverse=True)
+    # the heavy host alone is ~30% of rows; without salting its partition
+    # would hold >300 of 1000 rows. With salting no partition may dominate.
+    assert counts[0] < 0.30 * N_JOB
+    # heavy host actually spread across multiple partitions
+    heavy = (
+        pages.filter(F.col("url").startswith("https://big.example.com"))
+        .withColumn("part_id", salted_part_id(F.col("url"), n_parts, n_salts))
+        .select("part_id")
+        .distinct()
+        .count()
+    )
+    assert heavy >= n_salts // 2
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert {"url", "text"} <= set(df.columns)
