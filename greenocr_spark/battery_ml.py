@@ -15,7 +15,7 @@ import os
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from greenocr_spark.battery import q, t
+from greenocr_spark.battery import _dec, q, t
 
 # ---- shared hash/shingle expression builders (Spark SQL + DuckDB SQL) -----
 
@@ -333,6 +333,223 @@ def arr1_array_ops(spark, sf_dir):
     )
 
 
+_DOT_AB = "list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]))"
+
+
+@q(
+    "dd6_embedding_neardup",
+    f"""WITH n AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)
+                        / sqrt(list_sum(list_transform(embedding,
+                              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS emb
+             FROM embeddings WHERE vec_id < 80)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_AB}, 4) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_DOT_AB} >= 0.25""",
+)
+def dd6_embedding_neardup(spark, sf_dir):
+    # Embedding-cosine near-dup: normalize once (narrow pass), then pair
+    # search. The brute-force pair join here is the correctness baseline on a
+    # bounded subset; the scale path replaces the a×b join with the LSH
+    # bucket join of ann2/dd3 (same refine expression).
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    n = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.sqrt(sq)).alias("emb"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dot.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= 0.25)
+        .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos"))
+    )
+
+
+_IVF_CENTROID = """
+centroids AS (
+    SELECT label,
+           list_transform(range(1, 65),
+               i -> list_sum(list_transform(vecs, v -> v[i])) / len(vecs)) AS cent
+    FROM (SELECT label,
+                 list(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vecs
+          FROM embeddings GROUP BY label))
+"""
+
+
+@q(
+    "ann3_ivf_topk",
+    f"""WITH {_IVF_CENTROID},
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT c.label FROM centroids c, q
+        ORDER BY list_sum(list_transform(range(1, 65), i -> c.cent[i] * q.qe[i]))
+                 / (sqrt(list_sum(list_transform(c.cent, x -> x * x)))
+                    * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) DESC, c.label
+        LIMIT 2)
+    SELECT e.vec_id, e.label,
+           round(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe, x -> x * x)))), 4) AS cos
+    FROM embeddings e JOIN probe p ON e.label = p.label, q
+    WHERE e.vec_id <> 0
+    ORDER BY list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) DESC, e.vec_id
+    LIMIT 5""",
+)
+def ann3_ivf_topk(spark, sf_dir):
+    # IVF ANN: (1) train coarse quantizer = per-partition centroid via one
+    # groupBy (here the label column is the inverted-list id); (2) probe the
+    # nprobe=2 nearest centroids; (3) exact cosine refine inside those lists
+    # only. At 10^12 scale the centroid table is tiny → broadcast, and the
+    # candidate scan reads ~nprobe/nlists of the corpus instead of all of it.
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    def norm(a):
+        return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+    # (1) train: average vector per list — array_agg-free, one shuffle
+    cent = (
+        e.select("label", F.posexplode(dbl).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+        .select("label", F.transform("s", lambda st: st["m"]).alias("cent"))
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(dbl.alias("qe"))
+    # (2) probe: nearest 2 centroids (centroid table is tiny → broadcast)
+    probe = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("label", (dot(F.col("cent"), F.col("qe")) / (norm(F.col("cent")) * norm(F.col("qe")))).alias("c"))
+        .orderBy(F.desc("c"), "label")
+        .limit(2)
+        .select("label")
+    )
+    # (3) refine: exact cosine within probed lists only
+    cos = dot(dbl, F.col("qe")) / (norm(dbl) * norm(F.col("qe")))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "label", "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", cos.alias("_cos"))
+        .orderBy(F.desc("_cos"), "vec_id")
+        .limit(5)
+        .select("vec_id", "label", F.round("_cos", 4).alias("cos"))
+    )
+
+
+# =========================================================================
+# Sessionization / grouping sets / array padding
+# =========================================================================
+
+
+@q(
+    "w9_sessionize",
+    """WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, event_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, session_id""",
+)
+def w9_sessionize(spark, sf_dir):
+    # Gap-based sessionization (30-min inactivity): lag → boundary flag →
+    # running sum = session id → per-session agg. One shuffle on user_id;
+    # all three windows share the same partitioning so Spark keeps one sort.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ — route through timestamp for epoch secs
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("new_s", new_s)
+        .withColumn("sec", sec)
+        .withColumn("session_id", F.sum("new_s").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("sec") - F.min("sec")).cast("long").alias("duration_s"),
+        )
+    )
+
+
+@q(
+    "a14_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def a14_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dec(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@q(
+    "f13_pad_tokens",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents
+                   WHERE doc_id < 50)
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 32 THEN ws[1:32]
+                ELSE list_concat(ws, list_transform(range(32 - len(ws)),
+                                                    x -> '<pad>')) END AS padded,
+           least(len(ws), 32) AS real_len
+    FROM w""",
+)
+def f13_pad_tokens(spark, sf_dir):
+    # F13 pad-right-to-width (reference exe_t.py:144-152): truncate/pad the
+    # token array to a fixed 32 — the collate_fn analog done columnar
+    ws = _spark_words()
+    padded = F.when(F.size(ws) >= 32, F.slice(ws, 1, 32)).otherwise(
+        F.concat(ws, F.array_repeat(F.lit("<pad>"), 32 - F.size(ws)))
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            padded.alias("padded"),
+            F.least(F.size(ws), F.lit(32)).cast("long").alias("real_len"),
+        )
+    )
+
+
 # =========================================================================
 # Text analysis
 # =========================================================================
@@ -593,3 +810,93 @@ def st1_stream_hourly(spark, sf_dir):
     )
     qh.awaitTermination(120)
     return spark.table(name)
+
+
+@q("mm2_frame_sample", None)  # stub decode feature vectors — not SQL
+def mm2_frame_sample(spark, sf_dir):
+    # Multimodal one-to-many: video-style frame sampling over opaque binary
+    # payloads (mapInPandas, array<float> features). Decode is a deterministic
+    # stub (no image libs in container); batching/schema plumbing is real.
+    from greenocr_spark.operators.multimodal import frame_sample
+
+    payload = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return frame_sample(payload, id_col="doc_id", n_frames=4)
+
+
+@q(
+    "st2_stateful_per_user",
+    """SELECT user_id, count(*) AS n_events, round(max(value), 6) AS max_value
+       FROM events GROUP BY user_id""",
+)
+def st2_stateful_per_user(spark, sf_dir):
+    # §2.10 custom stateful streaming: applyInPandasWithState keyed on
+    # user_id, accumulating (count, max) in explicit GroupState — the
+    # arbitrary-stateful-operator surface. availableNow drains the source,
+    # so the final state equals the batch oracle (count/max are
+    # order-insensitive, safe to value-check).
+    import hashlib as _hashlib
+    import uuid as _uuid
+
+    import pandas as _pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    schema = t(spark, sf_dir, "events").schema
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = f"/tmp/greenocr_stream_events_{key}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", DoubleType())]
+    )
+
+    def upd(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 6)]}
+        )
+
+    name = f"st2_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            upd, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    qh = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    # one source file → one micro-batch → one output row per user (final)
+    return spark.table(name).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
