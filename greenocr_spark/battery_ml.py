@@ -750,10 +750,13 @@ def ex2_extract_fixture_pages(spark, sf_dir):
 
 
 def _fixture_pages_path(n: int) -> str:
-    path = f"/tmp/greenocr_fixture_pages_{n}.parquet"
+    # own directory (not bare /tmp) so the streaming file source can list it
+    d = f"/tmp/greenocr_fixture_pages_{n}"
+    path = os.path.join(d, "pages.parquet")
     if not os.path.exists(path):
         from greenocr_spark.fixtures import write_pages_parquet
 
+        os.makedirs(d, exist_ok=True)
         write_pages_parquet(path, n)
     return path
 
@@ -805,6 +808,62 @@ def st1_stream_hourly(spark, sf_dir):
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    return spark.table(name)
+
+
+@q("ex3_extract_pdf_branch", None)  # binary PDF layout parse — not SQL
+def ex3_extract_pdf_branch(spark, sf_dir):
+    # The PDF router branch in isolation: fixture rows whose payload carries
+    # the %PDF- magic go through the layout-parse mini-parser (reading-order
+    # spans). Byte-identity vs the pure-Python parser is asserted in
+    # tests/test_spark_pipeline.py; rows-only here.
+    from greenocr_spark.functions.sqlfns import pdf_magic_expr
+    from greenocr_spark.operators.extract import extract_pages
+
+    pages = spark.read.parquet(_fixture_pages_path(400)).filter(pdf_magic_expr("html"))
+    return extract_pages(pages).select("url", "text", "n_blocks", "kind")
+
+
+@q("st3_stream_extract", None)  # streaming face over binary payloads — not SQL
+def st3_stream_extract(spark, sf_dir):
+    # §2.10: the SAME extract_pages stage function run under Structured
+    # Streaming (stages are pure DataFrame→DataFrame, so the batch pipeline
+    # is the streaming pipeline). File source, availableNow drain, memory
+    # sink; at scale this is the Kafka/WARC-drop ingestion face.
+    import uuid as _uuid
+
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from greenocr_spark.operators.extract import extract_pages
+
+    stream_dir = os.path.dirname(_fixture_pages_path(400))
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("html", BinaryType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    name = f"st3_{_uuid.uuid4().hex[:8]}"
+    stream = extract_pages(
+        spark.readStream.schema(schema).format("parquet").load(stream_dir)
+    ).select("url", "text", "n_blocks", "kind")
+    qh = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,127 @@
+"""Physical-plan assertions — the 100-TB-scale guarantees as regression
+tests. A correct result with the wrong plan (full scan for a 3-column
+projection, sort-merge join of a broadcastable dim, per-row Python) is a
+bug at scale even when sf0.01 output matches; these tests pin the plan
+properties SURVEY.md §4 promises.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _registry():
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml  # noqa: F401
+
+    return b.REGISTRY
+
+
+def _q(spark, name):
+    fn, _ = _registry()[name]
+    return fn(spark, SF_DIR)
+
+
+def test_scan_pushdown_and_pruning(spark):
+    # s1: filter reaches the parquet scan; only 3 columns read
+    p = plan_of(_q(spark, "s1_scan_project"))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in p
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in p
+
+
+def test_broadcast_join_no_shuffle_of_fact(spark):
+    # j1: dim side broadcast — the fact table must not shuffle for the join
+    p = plan_of(_q(spark, "j1_broadcast_join_agg"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # exactly one Exchange: the post-aggregation one (partial agg upstream)
+    assert p.count("+- Exchange") == 1
+    assert "partial_count" in p
+
+
+def test_semi_and_anti_joins_broadcast(spark):
+    for name in ("j5_semi_join", "j6_anti_join"):
+        p = plan_of(_q(spark, name))
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_agg_map_side_partial(spark):
+    # a1: TPC-H Q1 shape must do partial aggregation before the exchange
+    p = plan_of(_q(spark, "a1_pricing_summary"))
+    assert "partial_sum" in p
+    assert p.count("+- Exchange") == 1
+
+
+def test_window_single_shuffle(spark):
+    # w9: three window specs share one partitioning → exactly one exchange
+    p = plan_of(_q(spark, "w9_sessionize"))
+    assert p.count("+- Exchange") <= 2  # window exchange + final agg exchange
+
+
+def test_topk_no_global_sort(spark):
+    # o1: global top-k must be TakeOrderedAndProject, not Sort+Limit
+    p = plan_of(_q(spark, "o1_topk_orders"))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_extract_pipeline_is_narrow(spark, tmp_path):
+    # extraction stage adds NO shuffle — partitioning preserved
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.operators.extract import extract_pages
+
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(path, 50)
+    pages = spark.read.parquet(path)
+    p = plan_of(extract_pages(pages))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_resume_anti_join_broadcasts_manifest(spark, tmp_path):
+    # pending_pages: the manifest side (≤ n_parts rows) must broadcast;
+    # the 10^12-row pages side must not shuffle for the anti-join
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.plans.job import pending_pages, run_extract_job
+
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(path, 200)
+    pages = spark.read.parquet(path)
+    out = str(tmp_path / "out")
+    run_extract_job(spark, pages, out, n_parts=4, n_salts=2)
+    pend = pending_pages(spark, pages, out, n_parts=4, n_salts=2)
+    p = plan_of(pend)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ann_brute_force_no_corpus_shuffle(spark):
+    # ann1: query vector broadcast; corpus scanned once, TakeOrdered top-k
+    p = plan_of(_q(spark, "ann1_cosine_topk"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_no_python_row_udfs_anywhere(spark):
+    # input_hint: vectorized stages only — BatchEvalPython (row-at-a-time
+    # Python UDF) must never appear in any registered query plan
+    reg = _registry()
+    for name in ("ex1_extract_wrapped", "dd2_minhash_signature", "tx2_quality_score",
+                 "ann1_cosine_topk", "mm1_binary_meta"):
+        fn, _ = reg[name]
+        p = plan_of(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in p, name
