@@ -125,9 +125,81 @@ def f12_ctc_width_law(spark, sf_dir):
     )
 
 
+@q(
+    "p3_feasibility_filter",
+    """SELECT doc_id, n_chars FROM documents
+       WHERE n_chars <= length(text)""",
+)
+def p3_feasibility_filter(spark, sf_dir):
+    # P3: the CTC feasibility predicate target_len <= input_len
+    # (reference train.py:1163-1170) as a column-vs-column data-quality filter
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") <= F.length("text"))
+        .select("doc_id", "n_chars")
+    )
+
+
+@q(
+    "a8_minmax_normalize",
+    """SELECT event_id,
+              round(CASE WHEN mx = mn THEN 0.0
+                         ELSE (value - mn) / (mx - mn) END, 6) AS v_norm
+       FROM (SELECT event_id, value,
+                    min(value) OVER (PARTITION BY user_id) AS mn,
+                    max(value) OVER (PARTITION BY user_id) AS mx
+             FROM events)""",
+)
+def a8_minmax_normalize(spark, sf_dir):
+    # A8: the Laplacian-channel (x-min)/(max-min) rescale (train.py:631)
+    # as a per-group min/max window normalize
+    w = Window.partitionBy("user_id")
+    mn, mx = F.min("value").over(w), F.max("value").over(w)
+    v = F.when(mx == mn, F.lit(0.0)).otherwise((F.col("value") - mn) / (mx - mn))
+    return t(spark, sf_dir, "events").select("event_id", F.round(v, 6).alias("v_norm"))
+
+
+@q(
+    "w2_argmax_per_group",
+    """SELECT user_id, event_type AS top_type FROM (
+         SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def w2_argmax_per_group(spark, sf_dir):
+    # W2: argmax per timestep (exe_t.py:523) → max_by with deterministic
+    # struct tie-break, one partial+final aggregate
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct("value", "event_id")).alias("top_type"))
+    )
+
+
 # =========================================================================
 # Joins  (SURVEY §2.3)
 # =========================================================================
+
+
+@q(
+    "j3_dict_decode_join",
+    """SELECT c.c_custkey, n.n_name AS nation_name
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE c.c_acctbal > 9000""",
+)
+def j3_dict_decode_join(spark, sf_dir):
+    # J2/J3: the char_to_idx/idx_to_char dictionary decode (exe_t.py:95-99)
+    # generalized: a tiny dimension collected once into a create_map literal,
+    # applied as a pure projection — zero join, zero shuffle (the literal
+    # ships inside the serialized plan, the broadcast-map pattern)
+    n = {r["n_nationkey"]: r["n_name"] for r in t(spark, sf_dir, "nation").collect()}
+    m = F.create_map(*[F.lit(x) for kv in n.items() for x in kv])
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", m[F.col("c_nationkey")].alias("nation_name"))
+    )
 
 
 @q(
