@@ -152,17 +152,30 @@ def tokenize_blocks(markup: str) -> list:
     pos = 0
     idx = 0
 
+    def clean(raw: str) -> str:
+        # unescape is the identity without '&'; skipping it (and the ctrl
+        # scan on short clean text) is a pure fast path, byte-identical
+        if "&" in raw:
+            raw = _htmlmod.unescape(raw)
+        return canon_ws(_CTRL_RE.sub("", raw))
+
     def flush():
         nonlocal segs, link_depth, idx
         if segs:
             raw = "".join(t for t, _ in segs)
-            text = canon_ws(_CTRL_RE.sub("", _htmlmod.unescape(raw)))
-            if text:
-                link_raw = " ".join(t for t, in_l in segs if in_l)
-                link_chars = len(canon_ws(_CTRL_RE.sub("", _htmlmod.unescape(link_raw))))
-                tag = stack[-1] if stack else "body"
-                blocks.append(Block(idx, tag, text, link_chars))
-                idx += 1
+            # whitespace-only runs between tags are the common case; their
+            # cleaned form is always '' (no '&' ⇒ no unescape surprises)
+            if raw and not (raw.isspace() and "&" not in raw):
+                text = clean(raw)
+                if text:
+                    if any(in_l for _, in_l in segs):
+                        link_raw = " ".join(t for t, in_l in segs if in_l)
+                        link_chars = len(clean(link_raw))
+                    else:
+                        link_chars = 0
+                    tag = stack[-1] if stack else "body"
+                    blocks.append(Block(idx, tag, text, link_chars))
+                    idx += 1
         segs = []
         link_depth = 0
 
@@ -195,6 +208,24 @@ def tokenize_blocks(markup: str) -> list:
     return blocks
 
 
+def _pctl_linear(sorted_a: np.ndarray, pct: float) -> float:
+    """np.percentile(method='linear') on an already-sorted float64 array,
+    bit-for-bit (replicates numpy's _lerp incl. the t>=0.5 symmetric branch)
+    without the generic dispatch overhead — percentile was 15% of extraction
+    CPU (tests/test_core.py pins equality against np.percentile)."""
+    n = sorted_a.size
+    v = (pct / 100.0) * (n - 1)
+    f = int(v)  # v >= 0 always
+    c = f + 1 if f + 1 < n else n - 1
+    t = v - f
+    a = sorted_a[f]
+    b = sorted_a[c]
+    d = b - a
+    if t >= 0.5:
+        return float(b - d * (1 - t))
+    return float(a + d * t)
+
+
 def score_blocks(blocks: list, cfg: ExtractorConfig = DEFAULT_CONFIG) -> dict:
     """Per-block content score channels in [0,1], float64.
 
@@ -218,7 +249,9 @@ def score_blocks(blocks: list, cfg: ExtractorConfig = DEFAULT_CONFIG) -> dict:
         ],
         dtype=np.float64,
     )
-    lo, hi = np.percentile(raw, [cfg.contrast_lo, cfg.contrast_hi])
+    srt = np.sort(raw)
+    lo = _pctl_linear(srt, cfg.contrast_lo)
+    hi = _pctl_linear(srt, cfg.contrast_hi)
     if hi - lo < 1e-9:
         # degenerate doc (all blocks equal): any positive signal is "bright"
         norm = (raw > 0).astype(np.float64)

@@ -200,3 +200,16 @@ def test_stats_consistency():
         r = extract_document(p["html"])
         assert r["n_blocks"] == r["n_content"] + r["n_boilerplate"]
         assert len(r["spans"]) == r["n_content"] or r["kind"] == "pdf"
+
+
+@given(
+    st.lists(st.floats(min_value=0, max_value=1e6, allow_nan=False), min_size=1, max_size=200),
+    st.floats(min_value=0, max_value=100),
+)
+def test_pctl_linear_matches_numpy(vals, pct):
+    import numpy as np
+
+    from greenocr_spark.extractor.core import _pctl_linear
+
+    a = np.sort(np.array(vals, dtype=np.float64))
+    assert _pctl_linear(a, pct) == float(np.percentile(a, pct))
