@@ -834,39 +834,21 @@ def st3_stream_extract(spark, sf_dir):
     # Streaming (stages are pure DataFrame→DataFrame, so the batch pipeline
     # is the streaming pipeline). File source, availableNow drain, memory
     # sink; at scale this is the Kafka/WARC-drop ingestion face.
+    import tempfile
     import uuid as _uuid
 
-    from pyspark.sql.types import (
-        BinaryType,
-        StringType,
-        StructField,
-        StructType,
-        TimestampType,
+    from greenocr_spark.streaming.face import (
+        extract_stream,
+        run_available_now,
+        stream_pages,
     )
-
-    from greenocr_spark.operators.extract import extract_pages
 
     stream_dir = os.path.dirname(_fixture_pages_path(400))
-    schema = StructType(
-        [
-            StructField("url", StringType()),
-            StructField("warc_ts", TimestampType()),
-            StructField("html", BinaryType()),
-            StructField("text", StringType()),
-            StructField("lang", StringType()),
-        ]
-    )
     name = f"st3_{_uuid.uuid4().hex[:8]}"
-    stream = extract_pages(
-        spark.readStream.schema(schema).format("parquet").load(stream_dir)
-    ).select("url", "text", "n_blocks", "kind")
-    qh = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    stream = extract_stream(stream_pages(spark, stream_dir)).select(
+        "url", "text", "n_blocks", "kind"
     )
+    qh = run_available_now(stream, name, tempfile.mkdtemp(prefix="st3_ckpt_"))
     qh.awaitTermination(120)
     return spark.table(name)
 

@@ -94,11 +94,9 @@ def run_extract_job(
     extracted = extract_pages(df, passthrough=("part_id",))
 
     ext_path = _extracted_dir(out_dir)
-    (
-        extracted.write.mode("overwrite")
-        .partitionBy("part_id")
-        .parquet(ext_path)
-    )
+    from greenocr_spark.sources.pages import write_extracted
+
+    write_extracted(extracted, ext_path, partition_col="part_id")
 
     # Metrics/lineage rows (A4/A6 analog: per-partition running stats merged
     # by a final agg — reference train.py:1193-1207). Read back the committed

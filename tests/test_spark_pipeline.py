@@ -155,3 +155,44 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert {"url", "text"} <= set(df.columns)
+
+
+def test_streaming_face_hourly_metrics(spark, pages_path, tmp_path):
+    # watermarked tumbling-window ingest metrics, availableNow drain,
+    # checkpointed — results equal the batch computation over the same data
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from greenocr_spark.streaming.face import (
+        hourly_ingest_metrics,
+        run_available_now,
+        stream_pages,
+    )
+
+    src = str(tmp_path / "stream_src")
+    _os.makedirs(src)
+    _os.symlink(pages_path, _os.path.join(src, "pages.parquet"))
+    # complete mode: append-mode windowed aggs only emit once a LATER batch
+    # moves the watermark past the window end — a single availableNow drain
+    # emits nothing in append mode
+    qh = run_available_now(
+        hourly_ingest_metrics(stream_pages(spark, src)),
+        "t_hourly", str(tmp_path / "ckpt"), output_mode="complete",
+    )
+    qh.awaitTermination(120)
+    got = {
+        (r["hour"], r["lang"]): (r["n_pages"], r["bytes_in"])
+        for r in spark.table("t_hourly").collect()
+    }
+    batch = (
+        spark.read.parquet(pages_path)
+        .groupBy(
+            F.date_trunc("hour", F.col("warc_ts").cast("timestamp")).alias("hour"),
+            "lang",
+        )
+        .agg(F.count("*").alias("n"), F.sum(F.length("html")).alias("b"))
+        .collect()
+    )
+    want = {(r["hour"], r["lang"]): (r["n"], r["b"]) for r in batch}
+    assert got == want
