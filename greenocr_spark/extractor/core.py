@@ -77,9 +77,12 @@ _DROP_RES = [
     re.compile(rf"<{name}\b[^>]*>.*?(?:</{name}\s*>|$)", re.IGNORECASE | re.DOTALL)
     for name in DROP_ELEMENTS
 ]
-_TAG_RE = re.compile(r"<[^>]*>")
 _CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
-_TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9\-]*)")
+# One pass captures span + closing-slash + tag name. The prefix
+# `\s*(/?)\s*(name)?` only ever consumes non-'>' characters, so the matched
+# spans are exactly those of the plain `<[^>]*>` form (byte-identical
+# segmentation); group(2) is None for <!DOCTYPE ...>, <?xml ...>, stray junk.
+_TAG_RE = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9\-]*)?[^>]*>")
 
 
 def canon_ws(s: str) -> str:
@@ -180,13 +183,14 @@ def tokenize_blocks(markup: str) -> list:
         link_depth = 0
 
     for m in _TAG_RE.finditer(markup):
-        if m.start() > pos:
-            segs.append((markup[pos : m.start()], link_depth > 0))
+        start = m.start()
+        if start > pos:
+            segs.append((markup[pos:start], link_depth > 0))
         pos = m.end()
-        tm = _TAG_NAME_RE.match(m.group(0))
-        if not tm:
+        name = m.group(2)
+        if name is None:
             continue  # <!DOCTYPE ...>, <?xml ...>, stray junk: pure separator
-        closing, name = tm.group(1) == "/", tm.group(2).lower()
+        closing, name = m.group(1) == "/", name.lower()
         if name == "a":
             if closing:
                 link_depth = max(0, link_depth - 1)

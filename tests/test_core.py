@@ -213,3 +213,16 @@ def test_pctl_linear_matches_numpy(vals, pct):
 
     a = np.sort(np.array(vals, dtype=np.float64))
     assert _pctl_linear(a, pct) == float(np.percentile(a, pct))
+
+
+@given(st.text(alphabet="<>/ab! c-?=\"'\n\t&;", max_size=300))
+def test_tag_regex_spans_match_plain_form(s):
+    # the capturing tokenizer regex must match exactly the spans of the
+    # plain <[^>]*> form — segmentation is byte-identity-critical
+    import re
+
+    from greenocr_spark.extractor.core import _TAG_RE
+
+    plain = [m.span() for m in re.finditer(r"<[^>]*>", s)]
+    ours = [m.span() for m in _TAG_RE.finditer(s)]
+    assert plain == ours
