@@ -315,6 +315,85 @@ def j8_asof_join(spark, sf_dir):
     )
 
 
+@q(
+    "j9_shipping_priority",
+    """SELECT l.l_orderkey,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+       GROUP BY l.l_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def j9_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape: selective dim filters pushed below a 3-way join, then
+    # agg + top-k. Catalyst broadcasts the filtered customer side; the
+    # lineitem date filter reaches the scan.
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+    ).cast("double")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@q(
+    "j10_local_supplier_volume",
+    """SELECT n.n_name AS nation,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'REGION_1'
+       GROUP BY n.n_name""",
+)
+def j10_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5 shape: 6-way snowflake join with a co-nation equi-condition;
+    # region/nation/supplier are broadcast tiers, the fact joins stay on
+    # the orderkey spine.
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+    ).cast("double")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(rev.alias("revenue"))
+    )
+
+
 # =========================================================================
 # Aggregations  (SURVEY §2.4)
 # =========================================================================
