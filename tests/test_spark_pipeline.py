@@ -196,3 +196,23 @@ def test_streaming_face_hourly_metrics(spark, pages_path, tmp_path):
     )
     want = {(r["hour"], r["lang"]): (r["n"], r["b"]) for r in batch}
     assert got == want
+
+
+def test_resume_heals_write_without_manifest(spark, pages_path, tmp_path):
+    # crash window: data partition committed but manifest append never ran.
+    # Resume must re-extract those partitions (idempotent via dynamic
+    # partition overwrite) and converge to the uninterrupted state.
+    import shutil
+
+    out = str(tmp_path / "heal")
+    pages = spark.read.parquet(pages_path)
+    run_extract_job(spark, pages, out, n_parts=8, n_salts=4)
+    want = _final_state(spark, out)
+
+    # forge the crash: wipe the whole manifest, keep all data partitions
+    shutil.rmtree(os.path.join(out, "manifest"))
+
+    run_extract_job(spark, pages, out, n_parts=8, n_salts=4)
+    assert _final_state(spark, out) == want
+    m = spark.read.parquet(os.path.join(out, "manifest"))
+    assert m.filter(F.col("status") == "done").select("part_id").distinct().count() == 8
