@@ -670,6 +670,75 @@ def p9_rlike_filter(spark, sf_dir):
     return t(spark, sf_dir, "documents").filter(F.col("text").rlike("window .*batch")).select("doc_id")
 
 
+@q(
+    "ud8_grouped_zscore",
+    """SELECT event_id,
+              round(CASE WHEN sd = 0 OR sd IS NULL THEN 0.0
+                         ELSE (value - mu) / sd END, 6) AS z
+       FROM (SELECT event_id, value,
+                    avg(value) OVER (PARTITION BY user_id) AS mu,
+                    stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+             FROM events)""",
+)
+def ud8_grouped_zscore(spark, sf_dir):
+    # UD8 (custom aggregator surface): applyInPandas grouped-map — the
+    # merge_best_states analog (train.py:202-220) as per-group vectorized
+    # numpy. One shuffle on the group key; each group is one pandas frame.
+    import numpy as _np
+    import pandas as _pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("z", DoubleType())]
+    )
+
+    def zscore(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=_np.float64)
+        mu = v.mean()
+        sd = v.std(ddof=1) if len(v) > 1 else 0.0
+        z = _np.zeros_like(v) if (sd == 0 or _np.isnan(sd)) else (v - mu) / sd
+        return _pd.DataFrame({"event_id": pdf["event_id"], "z": _np.round(z, 6)})
+
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, schema)
+        .select("event_id", "z")
+    )
+
+
+@q(
+    "udtf1_token_positions",
+    f"""SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS token
+        FROM (SELECT doc_id, {_duck_words()} AS w FROM documents
+              WHERE doc_id < 20), unnest(range(1, len(w) + 1)) AS r(i)""",
+)
+def udtf1_token_positions(spark, sf_dir):
+    # True Python UDTF (Spark 4 surface): one row in → many rows out with
+    # per-call state (position counter). Semantically = posexplode (which
+    # is what the engine uses at scale — the UDTF exists to cover the
+    # user-defined-table-function API).
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split()):
+                yield i, tok
+
+    spark.udtf.register("gos_tokenize", Tokenize)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, tk.pos, tk.token
+           FROM udtf_docs d, LATERAL gos_tokenize(trim(d.text)) tk
+           WHERE d.doc_id < 20"""
+    )
+
+
 # =========================================================================
 # Multimodal plumbing (binary payload → typed metadata; decode stubbed)
 # =========================================================================
