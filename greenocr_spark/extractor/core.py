@@ -100,10 +100,10 @@ def decode_bytes(raw: bytes) -> str:
         return ""
     if raw.startswith(b"\xef\xbb\xbf"):
         return raw[3:].decode("utf-8", errors="replace")
-    if raw.startswith(b"\xff\xfe"):
-        return raw.decode("utf-16-le", errors="replace")
-    if raw.startswith(b"\xfe\xff"):
-        return raw.decode("utf-16-be", errors="replace")
+    if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
+        # the "utf-16" codec consumes the BOM (a bare -le/-be decode would
+        # leak U+FEFF into the first text block)
+        return raw.decode("utf-16", errors="replace")
     m = _CHARSET_RE.search(raw[:2048])
     if m:
         name = m.group(1).decode("ascii", errors="replace").lower()

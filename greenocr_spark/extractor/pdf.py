@@ -18,6 +18,34 @@ import zlib
 from greenocr_spark.extractor.core import canon_ws
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_DICT_STREAM_RE = re.compile(rb"<<([^>]*(?:>(?!>)[^>]*)*)>>\s*stream\r?\n", re.DOTALL)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+def iter_streams(raw: bytes):
+    """Yield content-stream bodies in document order.
+
+    Primary path honors the dictionary's /Length — REQUIRED for Flate
+    streams, whose compressed bytes can legally contain the literal
+    `\\nendstream` sequence (a naive delimiter scan truncates them).
+    Streams without a usable /Length fall back to the delimiter scan."""
+    found = False
+    for m in _DICT_STREAM_RE.finditer(raw):
+        lm = _LENGTH_RE.search(m.group(1))
+        start = m.end()
+        if lm:
+            n = int(lm.group(1))
+            if raw[start + n : start + n + 11].lstrip(b"\r\n").startswith(b"endstream"):
+                found = True
+                yield raw[start : start + n]
+                continue
+        em = _STREAM_RE.match(raw, m.start() + m.group(0).find(b"stream"))
+        if em:
+            found = True
+            yield em.group(1)
+    if not found:
+        for m in _STREAM_RE.finditer(raw):
+            yield m.group(1)
 
 
 # --------------------------------------------------------------------------
@@ -184,8 +212,7 @@ def extract_pdf(raw: bytes):
     spans_out = []
     off = 0
     idx = 0
-    for page_no, m in enumerate(_STREAM_RE.finditer(raw)):
-        body = m.group(1)
+    for page_no, body in enumerate(iter_streams(raw)):
         try:
             body = zlib.decompress(body)
         except zlib.error:

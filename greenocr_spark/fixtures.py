@@ -38,6 +38,12 @@ CASES = [
     "short-page",
     "pdf",
     "empty",
+    "utf16",
+    "nested-tables",
+    "deep-nesting",
+    "huge-block",
+    "broken-entity",
+    "cdata-comment",
 ]
 
 _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
@@ -101,6 +107,34 @@ def make_page(i: int, seed: int = 42):
     body, paras = _article(rng, rng.randrange(3, 7))
     intended = " ".join(paras)
 
+    if case == "nested-tables":
+        # 3-level nested tables with long row texts (tokenizer must treat
+        # each cell as its own block and tolerate interleaved nesting)
+        cells = "".join(
+            f"<tr><td>{_sentence(rng, rng.randrange(18, 30))}</td>"
+            f"<td><table><tr><td>{_sentence(rng, 20)}</td></tr></table></td></tr>"
+            for _ in range(4)
+        )
+        body = f"<table><tbody>{cells}</tbody></table>" + body
+        intended = None
+    elif case == "deep-nesting":
+        depth = 150
+        body = "<div>" * depth + body + "</div>" * depth
+        # context stack tolerates depth; text blocks unchanged
+    elif case == "huge-block":
+        body, paras = f"<p>{_sentence(rng, 3000)}</p>", None
+        intended = None  # single massive paragraph; oracle is the extractor
+    elif case == "broken-entity":
+        body = body + "<p>truncated &am"  # entity cut at buffer end
+        body = body.replace("value", "&#xZZ;value", 1)  # invalid numeric ref
+        intended = None
+    elif case == "cdata-comment":
+        body = (
+            "<![CDATA[ raw <not-a-tag> cdata ]]>" + body
+            + "<!-- unterminated comment trails "
+        )
+        intended = None
+
     if case == "entity-soup":
         body = body.replace(" and ", " &amp; ").replace("a", "&#97;", 3).replace("e", "&#x65;", 2)
     elif case == "unclosed-tags":
@@ -131,6 +165,8 @@ def make_page(i: int, seed: int = 42):
         doc = doc.replace("<head>", "<head><meta charset='latin-1'>")
         doc = doc.replace("value", "välue", 2)
         raw = doc.encode("latin-1", errors="replace")
+    elif case == "utf16":
+        raw = doc.encode("utf-16")  # BOM-prefixed UTF-16-LE
     else:
         raw = doc.encode("utf-8")
 

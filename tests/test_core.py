@@ -181,7 +181,8 @@ def test_fixture_clean_cases_match_intended():
     hits = total = 0
     for p in make_pages(300):
         case = p["url"].split("/")[3]
-        if case in ("clean", "link-farm", "boilerplate-heavy", "whitespace-noise", "entity-soup", "short-page", "pdf"):
+        if case in ("clean", "link-farm", "boilerplate-heavy", "whitespace-noise",
+                    "entity-soup", "short-page", "pdf", "utf16", "deep-nesting"):
             total += 1
             hits += extract_document(p["html"])["text"] == p["text"]
     assert hits == total, f"{hits}/{total}"

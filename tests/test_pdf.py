@@ -59,3 +59,21 @@ def test_corrupt_stream_no_crash():
     raw = b"%PDF-1.4\nstream\n" + zlib.compress(b"BT (x) Tj ET")[:5] + b"\nendstream\n%%EOF"
     r = extract_pdf(raw)
     assert isinstance(r["text"], str)
+
+
+def test_stream_body_containing_endstream_bytes():
+    # /Length must win over delimiter scanning: a stream body (e.g. Flate
+    # bytes) can legally contain the literal b"\nendstream" — a naive
+    # non-greedy scan truncates the stream and drops following pages.
+    body = (
+        b"BT /F1 12 Tf 72 700 Td (first span) Tj ET\n"
+        b"%\nendstream decoy comment\n"
+        b"BT /F1 12 Tf 72 680 Td (second span) Tj ET"
+    )
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(body)).encode() + b" >>\nstream\n"
+        + body + b"\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    r = extract_pdf(raw)
+    assert r["text"] == "first span second span"
