@@ -922,6 +922,50 @@ def st3_stream_extract(spark, sf_dir):
     return spark.table(name)
 
 
+@q(
+    "st4_stream_dedup",
+    """SELECT user_id, event_type, count(*) AS n FROM (
+         SELECT DISTINCT user_id, event_type, ts FROM events)
+       GROUP BY user_id, event_type""",
+)
+def st4_stream_dedup(spark, sf_dir):
+    # §2.10 dropDuplicatesWithinWatermark: streaming dedup on
+    # (user_id, event_type, ts) with event-time state expiry, then a
+    # per-key count. availableNow drains one batch, so the result equals
+    # the batch DISTINCT (events has no exact dupes; identity holds).
+    import hashlib as _hashlib
+    import uuid as _uuid
+
+    schema = t(spark, sf_dir, "events").schema
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = f"/tmp/greenocr_stream_events_{key}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    name = f"st4_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts"])
+    )
+    qh = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @q("mm2_frame_sample", None)  # stub decode feature vectors — not SQL
 def mm2_frame_sample(spark, sf_dir):
     # Multimodal one-to-many: video-style frame sampling over opaque binary

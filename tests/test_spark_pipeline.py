@@ -216,3 +216,30 @@ def test_resume_heals_write_without_manifest(spark, pages_path, tmp_path):
     assert _final_state(spark, out) == want
     m = spark.read.parquet(os.path.join(out, "manifest"))
     assert m.filter(F.col("status") == "done").select("part_id").distinct().count() == 8
+
+
+def test_ingest_dedup_append(spark, tmp_path):
+    # ingestion job: normalize + salted key + anti-join dedup + append
+    from greenocr_spark.plans.ingest import ingest_pages
+
+    rows = [
+        ("https://a.example.com/1", "2025-01-01 00:00:00", b"<p>one</p>", "en"),
+        ("https://a.example.com/2", "2025-01-01 00:00:01", b"<p>two</p>", "de"),
+        ("https://a.example.com/3", "2025-01-01 00:00:02", b"", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, payload binary, lang string").withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    tgt = str(tmp_path / "pages_store")
+    assert ingest_pages(spark, df, tgt, n_parts=4) == 3
+    # re-ingest the same batch + one new row: only the new row lands
+    rows2 = rows + [("https://a.example.com/4", "2025-01-01 00:00:03", b"<p>four</p>", "fr")]
+    df2 = spark.createDataFrame(rows2, "url string, warc_ts string, payload binary, lang string").withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    assert ingest_pages(spark, df2, tgt, n_parts=4) == 1
+    stored = spark.read.parquet(tgt)
+    assert stored.count() == 4
+    # empty payload normalized to NULL html, not dropped
+    assert stored.filter(F.col("html").isNull()).count() == 1
+    assert set(stored.columns) >= {"url", "warc_ts", "html", "text", "lang", "part_id"}
