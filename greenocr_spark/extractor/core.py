@@ -163,7 +163,7 @@ def tokenize_blocks(markup: str) -> list:
         return canon_ws(_CTRL_RE.sub("", raw))
 
     def flush():
-        nonlocal segs, link_depth, idx
+        nonlocal link_depth, idx
         if segs:
             raw = "".join(t for t, _ in segs)
             # whitespace-only runs between tags are the common case; their
@@ -179,35 +179,38 @@ def tokenize_blocks(markup: str) -> list:
                     tag = stack[-1] if stack else "body"
                     blocks.append(Block(idx, tag, text, link_chars))
                     idx += 1
-        segs = []
+            del segs[:]
         link_depth = 0
 
+    segs_append = segs.append
+    block_tags, void_tags = BLOCK_TAGS, VOID_TAGS
     for m in _TAG_RE.finditer(markup):
         start = m.start()
         if start > pos:
-            segs.append((markup[pos:start], link_depth > 0))
+            segs_append((markup[pos:start], link_depth > 0))
         pos = m.end()
-        name = m.group(2)
+        slash, name = m.group(1, 2)
         if name is None:
             continue  # <!DOCTYPE ...>, <?xml ...>, stray junk: pure separator
-        closing, name = m.group(1) == "/", name.lower()
+        name = name.lower()
         if name == "a":
-            if closing:
+            if slash:
                 link_depth = max(0, link_depth - 1)
             else:
                 link_depth += 1
-        elif name in BLOCK_TAGS:
-            flush()
-            if name in VOID_TAGS:
+        elif name in block_tags:
+            if segs or link_depth:
+                flush()  # no-op otherwise; guard skips the call overhead
+            if name in void_tags:
                 continue
-            if closing:
+            if slash:
                 if name in stack:
                     while stack and stack.pop() != name:
                         pass
             else:
                 stack.append(name)
     if pos < len(markup):
-        segs.append((markup[pos:], link_depth > 0))
+        segs_append((markup[pos:], link_depth > 0))
     flush()
     return blocks
 
