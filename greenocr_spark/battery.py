@@ -558,6 +558,48 @@ def a12_approx_distinct(spark, sf_dir):
     )
 
 
+@q(
+    "a15_pivot",
+    """SELECT o_orderstatus,
+              count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+              count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+              count(*) FILTER (o_orderpriority = '5-LOW') AS low
+       FROM orders GROUP BY o_orderstatus""",
+)
+def a15_pivot(spark, sf_dir):
+    # pivot = conditional aggregation with a fixed value list (always give
+    # Spark the list — inferring it costs an extra distinct scan at 10^12)
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .count()
+        .withColumnsRenamed({"1-URGENT": "urgent", "3-MEDIUM": "medium", "5-LOW": "low"})
+    )
+
+
+@q(
+    "a16_unpivot",
+    """SELECT c_custkey, kind, round(val, 2) AS val FROM (
+         SELECT c_custkey, 'acctbal' AS kind, c_acctbal AS val FROM customer
+         UNION ALL
+         SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer)
+       WHERE c_custkey < 100""",
+)
+def a16_unpivot(spark, sf_dir):
+    # unpivot/melt: wide → long without a shuffle (generator-style expand)
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return (
+        c.select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "kind", "v")
+        .select("c_custkey", "kind", F.round("v", 2).alias("val"))
+    )
+
+
 # =========================================================================
 # Windows / ordered-sequence operators  (SURVEY §2.5)
 # =========================================================================

@@ -77,8 +77,19 @@ def build_pdf(pages, compress: bool = False) -> bytes:
             ).encode()
         )
         ops = []
-        for x, y, text in spans:
-            ops.append(f"BT /F1 12 Tf {x} {y} Td ({_esc(text)}) Tj ET")
+        for k, (x, y, text) in enumerate(spans):
+            # cycle positioning/show operator styles so fixtures exercise
+            # every parser path (Td+Tj, Tm+Tj, Td+TJ-array); all three are
+            # position-equivalent, so extracted spans are identical
+            style = k % 3
+            if style == 0:
+                ops.append(f"BT /F1 12 Tf {x} {y} Td ({_esc(text)}) Tj ET")
+            elif style == 1:
+                ops.append(f"BT /F1 12 Tf 1 0 0 1 {x} {y} Tm ({_esc(text)}) Tj ET")
+            else:
+                half = len(text) // 2
+                a, b = _esc(text[:half]), _esc(text[half:])
+                ops.append(f"BT /F1 12 Tf {x} {y} Td [({a}) -250 ({b})] TJ ET")
         body = "\n".join(ops).encode("latin-1", errors="replace")
         filt = b""
         if compress:
