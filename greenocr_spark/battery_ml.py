@@ -966,6 +966,61 @@ def st4_stream_dedup(spark, sf_dir):
     )
 
 
+@q(
+    "st5_session_window",
+    """WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+    SELECT user_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM s GROUP BY user_id, sid""",
+)
+def st5_session_window(spark, sf_dir):
+    # §2.10 session windows: F.session_window(gap) under Structured
+    # Streaming — merges events closer than the gap into one state window.
+    # Oracle is the equivalent batch sessionization (w9 logic): with
+    # microsecond timestamps an exactly-at-gap boundary never occurs, so
+    # strict-vs-inclusive boundary semantics coincide.
+    import hashlib as _hashlib
+    import uuid as _uuid
+
+    schema = t(spark, sf_dir, "events").schema
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = f"/tmp/greenocr_stream_events_{key}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    name = f"st5_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("start_ts"))
+        .select(
+            "user_id", "n_events",
+            F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+    qh = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    return spark.table(name)
+
+
 @q("mm2_frame_sample", None)  # stub decode feature vectors — not SQL
 def mm2_frame_sample(spark, sf_dir):
     # Multimodal one-to-many: video-style frame sampling over opaque binary
