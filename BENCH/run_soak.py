@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Volume soak: the FULL extraction job (salted shuffle + partitioned
+parquet write + manifest/metrics + resume no-op) on ~1M fixture pages at
+local[32]. Complements run_scaling.py (which isolates the compute stage):
+this one proves the end-to-end job plan — one shuffle, dynamic partition
+overwrite, broadcast anti-join resume — holds at volume.
+
+Usage: python BENCH/run_soak.py [--replicate 16] [--pages 60000]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=60000)
+    ap.add_argument("--replicate", type=int, default=16)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from greenocr_spark.plans.job import run_extract_job
+    from greenocr_spark.session import build_session
+
+    pages_path = f"/tmp/greenocr_scaling_pages_{args.pages}.parquet"
+    if not os.path.exists(pages_path):
+        from greenocr_spark.fixtures import write_pages_parquet
+
+        write_pages_parquet(pages_path, args.pages)
+
+    spark = build_session(app_name="soak", master=f"local[{args.cpus}]",
+                          shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = (
+        spark.read.parquet(pages_path)
+        .select("url", "warc_ts", "html", "text", "lang",
+                F.explode(F.sequence(F.lit(0), F.lit(args.replicate - 1))).alias("v"))
+        .select(F.concat("url", F.lit("#v"), F.col("v").cast("string")).alias("url"),
+                "warc_ts", "html", "text", "lang")
+    )
+    n_in = pages.count()
+    out = "/tmp/greenocr_soak_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_extract_job(spark, pages, out, n_parts=256, n_salts=16)
+    n_out = res.count()
+    secs = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    run_extract_job(spark, pages, out, n_parts=256, n_salts=16)
+    resume_secs = time.perf_counter() - t1
+    du = sum(os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(out) for f in fs)
+    print(json.dumps({
+        "metric": "end-to-end job soak (shuffle+extract+write+manifest)",
+        "n_pages": n_in, "rows_out": n_out, "secs": round(secs, 1),
+        "docs_per_sec": round(n_in / secs, 1),
+        "resume_noop_secs": round(resume_secs, 1),
+        "output_gb": round(du / 1e9, 2), "cpus": args.cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
