@@ -41,6 +41,45 @@ def salted_part_id(url_col, n_parts: int, n_salts: int = 8) -> Column:
     )
 
 
+def adaptive_salted_part_id(
+    df, url_col: str, n_parts: int, n_salts: int = 8, hot_frac: float = 0.05
+):
+    """Skew-aware partition key: salt ONLY hot hosts (Scarlett-style skew
+    handling — spread popular content, keep the long tail co-located).
+
+    Two phases, both cheap at any scale:
+      1. stats: one partial-aggregated count per host (#hosts << #rows),
+         keep hosts holding > hot_frac of rows;
+      2. assign: broadcast the hot-host list; hot hosts get the per-url
+         salt folded into the key, cold hosts hash by host alone —
+         preserving host locality (cache/dns/politeness affinity) that
+         uniform salting destroys.
+
+    Returns (df_with_part_id, hot_hosts). Uniform salting
+    (salted_part_id) remains the default for unknown distributions."""
+    from pyspark.sql import functions as F
+
+    host = host_expr(url_col)
+    total = df.count()
+    hot = [
+        r["h"]
+        for r in df.select(host.alias("h"))
+        .groupBy("h")
+        .count()
+        .filter(F.col("count") > hot_frac * total)
+        .collect()
+    ]
+    if hot:
+        hot_arr = F.array(*[F.lit(h) for h in hot])
+        key = F.when(
+            F.array_contains(hot_arr, host),
+            F.xxhash64(host, salt_expr(url_col, n_salts)),
+        ).otherwise(F.xxhash64(host))
+    else:
+        key = F.xxhash64(host)
+    return df.withColumn("part_id", F.pmod(key, F.lit(n_parts))), hot
+
+
 def pdf_magic_expr(html_col) -> Column:
     """Router predicate: binary payload starts with %PDF- (the RealESRGAN
     raw-binary branch analog, ENHANCMENT24.py:93-107)."""

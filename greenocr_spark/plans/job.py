@@ -79,13 +79,30 @@ def run_extract_job(
     n_salts: int = 8,
     run_id: str | None = None,
     resume: bool = True,
+    salting: str = "uniform",
 ) -> DataFrame:
     """Run (or resume) the extraction job. Returns the final extracted table
-    (read back from storage, all partitions)."""
+    (read back from storage, all partitions).
+
+    salting: 'uniform' salts every url (robust default for unknown host
+    distributions); 'adaptive' salts only hosts carrying >5% of rows and
+    keeps the long tail host-local (Scarlett-style skew handling — one
+    extra cheap host-count aggregation). NOTE: resume requires the SAME
+    salting mode across runs (part_id assignment must be stable)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    if resume:
+    if salting == "adaptive":
+        from greenocr_spark.functions.sqlfns import adaptive_salted_part_id
+
+        pages, _hot = adaptive_salted_part_id(pages, "url", n_parts, n_salts)
+        if resume:
+            manifest = read_manifest(spark, out_dir)
+            if manifest is not None:
+                done = manifest.filter(F.col("status") == "done").select("part_id").distinct()
+                pages = pages.join(F.broadcast(done), "part_id", "left_anti")
+        df = pages
+    elif resume:
         df = pending_pages(spark, pages, out_dir, n_parts, n_salts)
     else:
         df = pages.withColumn("part_id", salted_part_id(F.col("url"), n_parts, n_salts))

@@ -243,3 +243,44 @@ def test_ingest_dedup_append(spark, tmp_path):
     # empty payload normalized to NULL html, not dropped
     assert stored.filter(F.col("html").isNull()).count() == 1
     assert set(stored.columns) >= {"url", "warc_ts", "html", "text", "lang", "part_id"}
+
+
+def test_adaptive_salting(spark, pages_path):
+    # hot hosts (>5% of rows) get salted across many partitions; cold hosts
+    # stay on a single partition (locality preserved)
+    from greenocr_spark.functions.sqlfns import adaptive_salted_part_id, host_expr
+
+    pages = spark.read.parquet(pages_path)
+    keyed, hot = adaptive_salted_part_id(pages, "url", n_parts=32, n_salts=8)
+    assert "big.example.com" in hot
+
+    per_host = (
+        keyed.withColumn("h", host_expr("url"))
+        .groupBy("h")
+        .agg(F.countDistinct("part_id").alias("nparts"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_host = {r["h"]: r for r in per_host}
+    assert by_host["big.example.com"]["nparts"] >= 4  # hot host spread
+    for h, r in by_host.items():
+        if h not in hot:
+            assert r["nparts"] == 1, h  # cold hosts keep locality
+
+    # no partition melts: max partition strictly below the hot host's share
+    dist = sorted(
+        (r["count"] for r in keyed.groupBy("part_id").count().collect()), reverse=True
+    )
+    assert dist[0] < by_host["big.example.com"]["n"]
+
+
+def test_adaptive_job_matches_uniform(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    a = run_extract_job(spark, pages, str(tmp_path / "u"), n_parts=16)
+    b = run_extract_job(spark, pages, str(tmp_path / "a"), n_parts=16, salting="adaptive")
+    sa = sorted((r["url"], r["text"]) for r in a.select("url", "text").collect())
+    sb = sorted((r["url"], r["text"]) for r in b.select("url", "text").collect())
+    assert sa == sb
+    # adaptive resume is a no-op after completion
+    n_before = spark.read.parquet(str(tmp_path / "a" / "manifest")).count()
+    run_extract_job(spark, pages, str(tmp_path / "a"), n_parts=16, salting="adaptive")
+    assert spark.read.parquet(str(tmp_path / "a" / "manifest")).count() == n_before
