@@ -284,3 +284,25 @@ def test_adaptive_job_matches_uniform(spark, pages_path, tmp_path):
     n_before = spark.read.parquet(str(tmp_path / "a" / "manifest")).count()
     run_extract_job(spark, pages, str(tmp_path / "a"), n_parts=16, salting="adaptive")
     assert spark.read.parquet(str(tmp_path / "a" / "manifest")).count() == n_before
+
+
+def test_calibration_recovers_default_config(spark, tmp_path):
+    # the training-loop analog: grid-fit scorer config on labeled fixture
+    # pages; the frozen default (threshold .3, neargood 30) must be among
+    # the top scorers since fixtures' intended text was authored under it
+    from greenocr_spark.plans.calibrate import calibrate, default_grid
+
+    p = str(tmp_path / "labeled.parquet")
+    write_pages_parquet(p, 300)
+    labeled = spark.read.parquet(p).filter(F.col("text").isNotNull())
+    best_cfg, acc, rows = calibrate(labeled)
+    # charset-quirk labels intentionally diverge (ä mutation applied after
+    # the label was fixed), capping attainable accuracy below 1.0
+    assert acc >= 0.85
+    by_id = {r["cfg_id"]: r for r in rows}
+    default_id = next(
+        i for i, c in enumerate(default_grid())
+        if c.threshold == 0.3 and c.neargood_chars == 30.0
+    )
+    assert by_id[default_id]["accuracy"] == acc  # default ties the best
+    assert all(r["n"] == rows[0]["n"] for r in rows)
