@@ -685,6 +685,61 @@ def w5_second_diff(spark, sf_dir):
 
 
 @q(
+    "w4_contrast_rescore",
+    """WITH p AS (
+        SELECT user_id, quantile_cont(value, 0.01) AS lo,
+               quantile_cont(value, 0.99) AS hi
+        FROM events GROUP BY user_id),
+    n AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               CASE WHEN p.hi - p.lo < 1e-9 THEN CAST(e.value > 0 AS DOUBLE)
+                    ELSE least(greatest((e.value - p.lo) / (p.hi - p.lo), 0.0), 1.0)
+               END AS norm
+        FROM events e JOIN p ON e.user_id = p.user_id),
+    s AS (
+        SELECT event_id, norm,
+               0.25 * coalesce(lag(norm) OVER w, norm)
+               + 0.5 * norm
+               + 0.25 * coalesce(lead(norm) OVER w, norm) AS smooth
+        FROM n WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id,
+           round(least(greatest(norm + 1.5 * (norm - smooth), 0.0), 1.0), 6) AS sharp
+    FROM s""",
+)
+def w4_contrast_rescore(spark, sf_dir):
+    # The reference's full restoration math (exe_t.py:253-262, 299-300) as
+    # ONE relational pipeline: per-group 1%/99% contrast stretch (A7) →
+    # 3-tap edge-replicated neighborhood smoothing (W3) → unsharp rescore
+    # with clamp (W4/F9). This is the window-form twin of the in-UDF
+    # scoring spec (core.score_blocks) — same constants, same kernel.
+    e = t(spark, sf_dir, "events")
+    pcts = e.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    n = e.join(F.broadcast(pcts), "user_id").withColumn(
+        "norm",
+        F.when((F.col("hi") - F.col("lo")) < 1e-9, (F.col("value") > 0).cast("double"))
+        .otherwise(
+            F.least(
+                F.greatest((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")), F.lit(0.0)),
+                F.lit(1.0),
+            )
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    smooth = (
+        0.25 * F.coalesce(F.lag("norm").over(w), F.col("norm"))
+        + 0.5 * F.col("norm")
+        + 0.25 * F.coalesce(F.lead("norm").over(w), F.col("norm"))
+    )
+    sharp = F.least(
+        F.greatest(F.col("norm") + 1.5 * (F.col("norm") - smooth), F.lit(0.0)), F.lit(1.0)
+    )
+    return n.select("event_id", F.round(sharp, 6).alias("sharp"))
+
+
+@q(
     "w8_first_last",
     """SELECT DISTINCT user_id,
               first_value(event_type) OVER w AS first_type,
