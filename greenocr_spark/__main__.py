@@ -1,0 +1,70 @@
+"""CLI: python -m greenocr_spark <command>
+
+Commands:
+    extract   --input PATH|TABLE --output DIR [--n-parts N] [--n-salts S]
+              [--no-resume] [--limit N]   (or --fixture-pages N)
+    bench     [bench.py args]             headline suite, one JSON line
+    calibrate --input PATH --sample N     grid-fit scorer config on labeled pages
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = sys.argv[1], sys.argv[2:]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if cmd == "extract":
+        sys.argv = ["extract_job", *rest]
+        path = os.path.join(repo, "jobs", "extract_job.py")
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("extract_job", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        return 0
+    if cmd == "bench":
+        sys.argv = ["bench", *rest]
+        path = os.path.join(repo, "bench.py")
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("bench", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        return 0
+    if cmd == "calibrate":
+        import argparse
+        import json
+
+        ap = argparse.ArgumentParser(prog="greenocr_spark calibrate")
+        ap.add_argument("--input", required=True)
+        ap.add_argument("--sample", type=int, default=0)
+        a = ap.parse_args(rest)
+        from pyspark.sql import functions as F
+
+        from greenocr_spark.plans.calibrate import calibrate
+        from greenocr_spark.session import build_session
+
+        spark = build_session(app_name="calibrate")
+        spark.sparkContext.setLogLevel("WARN")
+        labeled = spark.read.parquet(a.input).filter(F.col("text").isNotNull())
+        if a.sample:
+            labeled = labeled.limit(a.sample)
+        cfg, acc, _ = calibrate(labeled)
+        print(json.dumps({"threshold": cfg.threshold, "neargood_chars": cfg.neargood_chars,
+                          "accuracy": round(acc, 4)}))
+        spark.stop()
+        return 0
+    print(f"unknown command: {cmd}\n{__doc__}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
