@@ -20,7 +20,12 @@ from greenocr_spark.battery import _dec, q, t
 # ---- shared hash/shingle expression builders (Spark SQL + DuckDB SQL) -----
 
 P_MOD = 2147483647  # 2^31-1
-MINHASH_AB = [(2971, 1013), (4111, 2707), (5737, 331), (7001, 977)]
+# 8 permutations → 4 bands × 2 rows (b=4, r=2): the S-curve threshold
+# (1/b)^(1/r) ≈ 0.5 Jaccard — a realistic near-dup operating point
+MINHASH_AB = [
+    (2971, 1013), (4111, 2707), (5737, 331), (7001, 977),
+    (8191, 57), (9973, 1409), (11003, 2113), (12577, 761),
+]
 
 
 def _spark_words(col="text"):
@@ -101,26 +106,45 @@ def dd2_minhash_signature(spark, sf_dir):
     return _minhash_signature_df(spark, sf_dir)
 
 
+_N_BANDS, _ROWS_PER_BAND = 4, 2
+
+
+def _band_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {b} THEN md5(CAST(mh{b * _ROWS_PER_BAND} AS VARCHAR) || '-' || "
+        f"CAST(mh{b * _ROWS_PER_BAND + 1} AS VARCHAR))"
+        for b in range(_N_BANDS)
+    )
+    return f"CASE i {whens} END"
+
+
 @q(
     "dd3_minhash_band_pairs",
     f"""WITH sig AS ({_MINHASH_ORACLE_SIG}),
     bands AS (
-        SELECT doc_id, i AS band, CASE i
-            WHEN 0 THEN mh0 % 1024 WHEN 1 THEN mh1 % 1024
-            WHEN 2 THEN mh2 % 1024 ELSE mh3 % 1024 END AS bkey
-        FROM sig, unnest([0,1,2,3]) AS u(i))
+        SELECT doc_id, i AS band, {_band_case_sql()} AS bkey
+        FROM sig, unnest([{", ".join(str(b) for b in range(_N_BANDS))}]) AS u(i))
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
                              AND a.doc_id < b.doc_id""",
 )
 def dd3_minhash_band_pairs(spark, sf_dir):
-    # LSH banding: bucket-join on (band, banded-minhash); candidate pairs =
-    # same bucket in any band. The scale path: the self-join is on the tiny
-    # (band,bkey) key space, never all-pairs.
+    # LSH banding (b=4 bands, r=2 rows): band key = hash of the band's r
+    # minhash values; candidate pairs = same composite key in any band.
+    # S-curve threshold (1/b)^(1/r) ≈ 0.5 Jaccard. The scale path: the
+    # self-join is per (band, bkey) bucket, never all-pairs.
     sig = _minhash_signature_df(spark, sf_dir)
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[F.col(f"mh{b * _ROWS_PER_BAND + r}").cast("string") for r in range(_ROWS_PER_BAND)],
+            )
+        )
+        for b in range(_N_BANDS)
+    ]
     bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"mh{i}") % 1024 for i in range(4)])),
+        "doc_id", F.posexplode(F.array(*band_keys))
     ).withColumnsRenamed({"pos": "band", "col": "bkey"})
     a = bands.alias("a")
     b = bands.alias("b")
