@@ -306,3 +306,20 @@ def test_calibration_recovers_default_config(spark, tmp_path):
     )
     assert by_id[default_id]["accuracy"] == acc  # default ties the best
     assert all(r["n"] == rows[0]["n"] for r in rows)
+
+
+def test_job_report(spark, pages_path, tmp_path):
+    from greenocr_spark.plans.report import job_report, partition_report
+
+    out = str(tmp_path / "rep")
+    run_extract_job(spark, spark.read.parquet(pages_path), out, n_parts=8, n_salts=4)
+    r = job_report(spark, out).first()
+    assert r["n_docs"] == N_JOB
+    assert r["n_partitions"] == 8
+    assert 0 < r["keep_ratio"] < 1
+    assert 0 < r["content_block_ratio"] < 1
+    assert r["max_over_mean_docs"] < 2.5  # salted balance
+    assert r["n_runs"] == 1
+    parts = partition_report(spark, out)
+    assert parts.count() == 8
+    assert parts.first()["bytes_in"] >= parts.orderBy("bytes_in").first()["bytes_in"]
