@@ -68,6 +68,27 @@ def main() -> None:
         "resume_noop_secs": round(resume_secs, 1),
         "output_gb": round(du / 1e9, 2), "cpus": args.cpus,
     }))
+    # append to BENCH/BASELINE.md (run_scaling.py rewrites that file, so
+    # rerun soak after scaling to restore this section)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(md):
+        with open(md, "a") as f:
+            f.write(f"""
+## Volume soak (end-to-end job, not just the compute stage)
+
+`python BENCH/run_soak.py` — the FULL job (salted repartition shuffle ->
+extract -> partitioned parquet write -> manifest metrics -> read-back) on
+{n_in:,} fixture pages at local[{args.cpus}], cold start included:
+
+| pages | wall | docs/s end-to-end | resume no-op | output |
+|---|---|---|---|---|
+| {n_in:,} | {secs:.1f} s | {n_in/secs:,.0f} | {resume_secs:.1f} s | {du/1e9:.2f} GB parquet, partitioned, manifest rows intact |
+
+Resume no-op cost is pure manifest anti-join + read-back — no partition
+re-extracted. At 10^12 rows the same plan holds: the anti-join side stays
+<= n_parts rows, the shuffle is the single all-data exchange, and writes
+are per-partition idempotent.
+""")
     spark.stop()
 
 
