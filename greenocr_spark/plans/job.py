@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from greenocr_spark.functions.sqlfns import salted_part_id
-from greenocr_spark.operators.extract import extract_pages
+from greenocr_spark.operators.extract import extract_pages, extract_schema
 
 MANIFEST_COLS = [
     "part_id",
@@ -106,6 +106,18 @@ def run_extract_job(
         df = pending_pages(spark, pages, out_dir, n_parts, n_salts)
     else:
         df = pages.withColumn("part_id", salted_part_id(F.col("url"), n_parts, n_salts))
+
+    if df.isEmpty():
+        # nothing pending: empty input, or a resume where every partition is
+        # already done. Return what storage has (possibly nothing) — the
+        # parquet reader cannot infer schema from an empty directory.
+        ext_path = _extracted_dir(out_dir)
+        try:
+            return spark.read.parquet(ext_path)
+        except Exception:
+            return spark.createDataFrame(
+                [], extract_schema(["part_id"], df.schema)
+            )
 
     df = df.repartition(n_parts, "part_id").sortWithinPartitions("url")
     extracted = extract_pages(df, passthrough=("part_id",))

@@ -323,3 +323,17 @@ def test_job_report(spark, pages_path, tmp_path):
     parts = partition_report(spark, out)
     assert parts.count() == 8
     assert parts.first()["bytes_in"] >= parts.orderBy("bytes_in").first()["bytes_in"]
+
+
+def test_empty_input_job(spark, tmp_path):
+    # empty pages table: job must return an empty frame, not crash on the
+    # unreadable empty parquet dir; a later non-empty run works in place
+    out = str(tmp_path / "empty")
+    empty = spark.createDataFrame([], "url string, html binary")
+    res = run_extract_job(spark, empty, out, n_parts=4)
+    assert res.count() == 0
+    assert "text" in res.columns
+    p = str(tmp_path / "p.parquet")
+    write_pages_parquet(p, 50)
+    res2 = run_extract_job(spark, spark.read.parquet(p), out, n_parts=4)
+    assert res2.count() == 50
