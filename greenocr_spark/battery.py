@@ -829,6 +829,52 @@ def u3_except(spark, sf_dir):
     return c.exceptAll(o).distinct()
 
 
+@q(
+    "f24_scalar_subquery",
+    """SELECT o_orderkey,
+              round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6)
+              AS price_ratio
+       FROM orders WHERE o_orderkey % 13 = 0""",
+)
+def f24_scalar_subquery(spark, sf_dir):
+    # scalar subquery (Catalyst rewrites to a broadcast one-row join);
+    # expressed explicitly as crossJoin(broadcast(agg)) — identical plan
+    o = t(spark, sf_dir, "orders")
+    avg = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .crossJoin(F.broadcast(avg))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") / F.col("_avg"), 6).alias("price_ratio"),
+        )
+    )
+
+
+@q(
+    "a18_stats_suite",
+    """SELECT l_returnflag,
+              round(stddev_samp(l_quantity), 4) AS sd_qty,
+              round(var_samp(l_discount), 6) AS var_disc,
+              round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+              round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def a18_stats_suite(spark, sf_dir):
+    # statistical aggregates: all single-pass partial+final (Welford-style
+    # combiners) — constant memory per partition at any scale
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+        )
+    )
+
+
 # =========================================================================
 # Scalar functions  (SURVEY §2.8)
 # =========================================================================

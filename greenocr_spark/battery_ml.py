@@ -684,6 +684,62 @@ def tx5_rolling_hash(spark, sf_dir):
     return t(spark, sf_dir, "documents").select("doc_id", rolled.alias("rhash"))
 
 
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"  # ASCII punctuation (identical in Java + DuckDB)
+
+
+@q(
+    "tx6_punct_ratio",
+    f"""SELECT doc_id,
+               len(regexp_extract_all(text, '{_PUNCT_CLASS}')) AS n_punct,
+               round(len(regexp_extract_all(text, '{_PUNCT_CLASS}'))
+                     / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+        FROM documents WHERE length(text) > 0""",
+)
+def tx6_punct_ratio(spark, sf_dir):
+    # F7 unicode-category punctuation classify (train.py:125-126), pinned to
+    # the ASCII class so Java and DuckDB regex semantics coincide exactly
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(_PUNCT_CLASS), F.lit(0)))
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            n_punct.cast("long").alias("n_punct"),
+            F.round(n_punct / F.length("text").cast("double"), 6).alias("punct_ratio"),
+        )
+    )
+
+
+@q(
+    "arr2_set_ops",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents
+                   WHERE doc_id < 30),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 list_sort(list_distinct(list_intersect(a.ws, b.ws))) AS common,
+                 len(list_distinct(list_concat(a.ws, b.ws))) AS n_union
+          FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id)
+    SELECT doc_a, doc_b, common, n_union FROM p""",
+)
+def arr2_set_ops(spark, sf_dir):
+    # array set algebra (intersect/union) JVM-side — the token-overlap
+    # primitive under dd4's Jaccard, exposed directly
+    w = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", _spark_words().alias("ws"))
+    )
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.array_sort(F.array_distinct(F.array_intersect("a.ws", "b.ws"))).alias("common"),
+            F.size(F.array_distinct(F.concat("a.ws", "b.ws"))).cast("long").alias("n_union"),
+        )
+    )
+
+
 @q(
     "p9_rlike_filter",
     """SELECT doc_id FROM documents WHERE regexp_matches(text, 'window .*batch')""",
