@@ -81,15 +81,18 @@ def build_pdf(pages, compress: bool = False) -> bytes:
             # cycle positioning/show operator styles so fixtures exercise
             # every parser path (Td+Tj, Tm+Tj, Td+TJ-array); all three are
             # position-equivalent, so extracted spans are identical
-            style = k % 3
+            style = k % 4
             if style == 0:
                 ops.append(f"BT /F1 12 Tf {x} {y} Td ({_esc(text)}) Tj ET")
             elif style == 1:
                 ops.append(f"BT /F1 12 Tf 1 0 0 1 {x} {y} Tm ({_esc(text)}) Tj ET")
-            else:
+            elif style == 2:
                 half = len(text) // 2
                 a, b = _esc(text[:half]), _esc(text[half:])
                 ops.append(f"BT /F1 12 Tf {x} {y} Td [({a}) -250 ({b})] TJ ET")
+            else:
+                hx = text.encode("latin-1", errors="replace").hex()
+                ops.append(f"BT /F1 12 Tf {x} {y} Td <{hx}> Tj ET")
         body = "\n".join(ops).encode("latin-1", errors="replace")
         filt = b""
         if compress:
@@ -145,6 +148,23 @@ def _tokenize_content(data: bytes):
                 buf.append(ch.decode("latin-1"))
                 i += 1
             yield ("str", "".join(buf))
+        elif c == b"<":
+            if data[i : i + 2] == b"<<":  # inline dict — skip past '>>'
+                end = data.find(b">>", i + 2)
+                i = n if end < 0 else end + 2
+                continue
+            m = re.match(rb"<([0-9A-Fa-f\s]*)>", data[i:])
+            if m:
+                hx = re.sub(rb"\s", b"", m.group(1))
+                if len(hx) % 2:
+                    hx += b"0"  # PDF spec: odd-length hex pads with 0
+                try:
+                    yield ("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                except ValueError:
+                    pass
+                i += m.end()
+            else:
+                i += 1
         elif c == b"[":
             j = i + 1
             depth = 1

@@ -77,3 +77,21 @@ def test_stream_body_containing_endstream_bytes():
     )
     r = extract_pdf(raw)
     assert r["text"] == "first span second span"
+
+
+def test_hex_string_tj():
+    body = b"BT /F1 12 Tf 72 700 Td <48656C6C 6F20776F726C64> Tj ET"
+    raw = (
+        b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(body)).encode() + b" >>\nstream\n"
+        + body + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf(raw)["text"] == "Hello world"
+
+
+def test_hex_string_odd_length_pads():
+    body = b"BT /F1 12 Tf 72 700 Td <48656C6C6F2> Tj ET"  # trailing '2' -> 0x20
+    raw = (
+        b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(body)).encode() + b" >>\nstream\n"
+        + body + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf(raw)["text"] == "Hello"
