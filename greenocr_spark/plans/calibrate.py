@@ -89,6 +89,65 @@ def evaluate_configs(labeled: DataFrame, grid: list | None = None) -> DataFrame:
     )
 
 
+def calibrate_grouped(labeled: DataFrame, group_col: str, grid: list | None = None):
+    """Per-group fit + weighted merge — the reference's full training shape:
+    one best state per width-bucket (train.py:1201-1207), then
+    merge_best_states with size-proportional weights (train.py:202-220).
+
+    Returns (merged_config, per_group) where per_group maps group value →
+    (best_config, accuracy, n). The merged config averages each numeric
+    field of the per-group winners weighted by group size — exactly
+    Σ wᵢ·stateᵢ / Σ wᵢ over the 'parameter tensors' (here: thresholds)."""
+    grid = grid or default_grid()
+    gfield = labeled.schema[group_col]
+    schema = StructType(
+        [
+            StructField("grp", gfield.dataType),
+            StructField("cfg_id", IntegerType()),
+            StructField("hits", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def run(key, pdf):
+        hits = [0] * len(grid)
+        n = 0
+        for raw, want in zip(pdf["html"].tolist(), pdf["text"].tolist()):
+            if want is None:
+                continue
+            n += 1
+            want_c = canon_ws(want)
+            for gi, cfg in enumerate(grid):
+                if extract_document(raw, cfg)["text"] == want_c:
+                    hits[gi] += 1
+        return pd.DataFrame(
+            {"grp": [key[0]] * len(grid), "cfg_id": range(len(grid)),
+             "hits": hits, "n": [n] * len(grid)}
+        )
+
+    rows = (
+        labeled.select(F.col(group_col).alias("grp"), "html", "text")
+        .groupBy("grp")
+        .applyInPandas(run, schema)
+        .collect()
+    )
+    per_group = {}
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for g, rs in by_grp.items():
+        best = max(rs, key=lambda r: (r["hits"], -r["cfg_id"]))
+        n = best["n"]
+        per_group[g] = (grid[best["cfg_id"]], (best["hits"] / n) if n else 0.0, n)
+    total = sum(n for _, _, n in per_group.values()) or 1
+    merged = replace(
+        DEFAULT_CONFIG,
+        threshold=sum(c.threshold * n for c, _, n in per_group.values()) / total,
+        neargood_chars=sum(c.neargood_chars * n for c, _, n in per_group.values()) / total,
+    )
+    return merged, per_group
+
+
 def calibrate(labeled: DataFrame, grid: list | None = None):
     """Pick the best config: max accuracy, deterministic tie-break on
     cfg_id (the reference's best-checkpoint argmin, train.py:1201-1207).

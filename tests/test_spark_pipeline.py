@@ -337,3 +337,20 @@ def test_empty_input_job(spark, tmp_path):
     write_pages_parquet(p, 50)
     res2 = run_extract_job(spark, spark.read.parquet(p), out, n_parts=4)
     assert res2.count() == 50
+
+
+def test_grouped_calibration_weighted_merge(spark, tmp_path):
+    from greenocr_spark.plans.calibrate import calibrate_grouped, default_grid
+
+    p = str(tmp_path / "lg.parquet")
+    write_pages_parquet(p, 240)
+    labeled = spark.read.parquet(p).filter(F.col("text").isNotNull())
+    merged, per_group = calibrate_grouped(labeled, "lang")
+    assert set(per_group) == {"en", "de", "et", "es", "fr"}
+    total = sum(n for _, _, n in per_group.values())
+    assert total == labeled.count()
+    thr_vals = [c.threshold for c, _, _ in per_group.values()]
+    assert min(thr_vals) <= merged.threshold <= max(thr_vals)  # convex combo
+    grid_thrs = {c.threshold for c in default_grid()}
+    for cfg, acc, n in per_group.values():
+        assert cfg.threshold in grid_thrs and n > 0 and acc > 0.5
