@@ -227,3 +227,28 @@ def test_tag_regex_spans_match_plain_form(s):
     plain = [m.span() for m in re.finditer(r"<[^>]*>", s)]
     ours = [m.span() for m in _TAG_RE.finditer(s)]
     assert plain == ours
+
+
+def test_extraction_beats_naive_tag_strip():
+    # the whole point of the scoring pipeline: naive tag-stripping keeps
+    # title/nav/footer/link-farm boilerplate and ~never reproduces the
+    # intended main content; the scored pipeline does on most labeled cases
+    import html as _h
+    import re as _re
+
+    from greenocr_spark.extractor.core import repair_markup, decode_bytes
+
+    ours = naive = total = 0
+    for p in make_pages(480):
+        want = p["text"]
+        if want is None or p["url"].split("/")[3] == "pdf":
+            continue
+        total += 1
+        want_c = canon_ws(want)
+        ours += extract_document(p["html"])["text"] == want_c
+        stripped = canon_ws(_h.unescape(_re.sub(r"<[^>]*>", " ", repair_markup(decode_bytes(p["html"])))))
+        naive += stripped == want_c
+    assert total > 100
+    assert ours / total >= 0.85
+    assert naive / total <= 0.05
+    assert ours / total - naive / total >= 0.8
