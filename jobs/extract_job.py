@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-parts", type=int, default=256)
     ap.add_argument("--n-salts", type=int, default=8)
+    ap.add_argument("--salting", choices=["uniform", "adaptive"], default="uniform")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args()
@@ -69,6 +70,7 @@ def main() -> None:
         n_parts=args.n_parts,
         n_salts=args.n_salts,
         resume=not args.no_resume,
+        salting=args.salting,
     )
     n = result.count()
     secs = time.perf_counter() - t0
