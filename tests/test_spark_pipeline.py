@@ -354,3 +354,22 @@ def test_grouped_calibration_weighted_merge(spark, tmp_path):
     grid_thrs = {c.threshold for c in default_grid()}
     for cfg, acc, n in per_group.values():
         assert cfg.threshold in grid_thrs and n > 0 and acc > 0.5
+
+
+def test_pages_io_roundtrip(spark, tmp_path):
+    from greenocr_spark.sources.pages import (
+        iceberg_available,
+        read_pages,
+        write_pages,
+    )
+
+    # sandbox has no Iceberg runtime — the probe must say so, not raise
+    assert iceberg_available(spark) is False
+
+    p = str(tmp_path / "store")
+    rows = [("https://x/1", b"<p>a</p>"), ("https://x/2", b"<p>b</p>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    write_pages(df, p)
+    assert read_pages(spark, p).count() == 2
+    write_pages(df.limit(1), p)  # append mode
+    assert read_pages(spark, p).count() == 3
