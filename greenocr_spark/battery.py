@@ -740,6 +740,58 @@ def w4_contrast_rescore(spark, sf_dir):
 
 
 @q(
+    "ts1_resample_ffill",
+    """WITH b AS (
+        SELECT user_id,
+               to_timestamp(floor(epoch(ts) / 21600) * 21600) AS bucket,
+               round(sum(value), 4) AS v
+        FROM events GROUP BY 1, 2),
+    ext AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket
+        FROM ext),
+    j AS (SELECT s.user_id, s.bucket, b.v
+          FROM spine s LEFT JOIN b ON b.user_id = s.user_id AND b.bucket = s.bucket)
+    SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING), 4) AS v_ffill,
+           (v IS NOT NULL) AS observed
+    FROM j""",
+)
+def ts1_resample_ffill(spark, sf_dir):
+    # time-series resample to a 6-hour grid with forward fill: per-key
+    # spine via sequence+explode (no shuffle beyond the agg), left join
+    # observed buckets, last(ignorenulls) carries values across gaps —
+    # the standard gap-fill plan shape for sparse event streams
+    e = t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    b = (
+        e.withColumn("bucket", F.timestamp_seconds(F.floor(sec / 21600) * 21600))
+        .groupBy("user_id", "bucket")
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    ext = b.groupBy("user_id").agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = ext.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 6 hours"))).alias("bucket"),
+    )
+    j = spine.join(b, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_ffill"),
+        F.col("v").isNotNull().alias("observed"),
+    )
+
+
+@q(
     "w8_first_last",
     """SELECT DISTINCT user_id,
               first_value(event_type) OVER w AS first_type,
