@@ -882,6 +882,29 @@ def u3_except(spark, sf_dir):
 
 
 @q(
+    "f25_histogram",
+    """SELECT CASE WHEN value < 0 THEN 0
+                   WHEN value >= 200 THEN 11
+                   ELSE CAST(floor((value - 0) / (200 - 0) * 10) AS BIGINT) + 1
+              END AS bin,
+              count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+       FROM events GROUP BY 1""",
+)
+def f25_histogram(spark, sf_dir):
+    # equi-width histogram via width_bucket — one partial+final agg;
+    # the oracle replicates width_bucket's documented bin law exactly
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.width_bucket("value", F.lit(0), F.lit(200), F.lit(10)).alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@q(
     "f24_scalar_subquery",
     """SELECT o_orderkey,
               round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6)
