@@ -38,9 +38,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness pass checks roughly the first 50 queries() entries
+# per round.  Round 1 checked registry order [0..49]; this priority list leads
+# with the entries that had no driver row in CORRECTNESS_r01.json so round 2
+# converts their pytest-only evidence into driver evidence (VERDICT.md item 1).
+_ROUND2_PRIORITY = [
+    "ex1_extract_wrapped",
+    "ex2_extract_fixture_pages",
+    "ex3_extract_pdf_branch",
+    "dd4_word_jaccard_pairs",
+    "dd5_simhash",
+    "dd6_embedding_neardup",
+    "dd7_lsh_neardup",
+    "ann1_cosine_topk",
+    "ann2_lsh_buckets",
+    "ann3_ivf_topk",
+    "tx1_token_count",
+    "tx2_quality_score",
+    "tx3_lang_id",
+    "tx4_fingerprint",
+    "tx5_rolling_hash",
+    "tx6_punct_ratio",
+    "arr1_array_ops",
+    "arr2_set_ops",
+    "w9_sessionize",
+    "a14_cube",
+    "f13_pad_tokens",
+    "p9_rlike_filter",
+    "ud8_grouped_zscore",
+    "udtf1_token_positions",
+    "mm1_binary_meta",
+    "mm2_frame_sample",
+    "st1_stream_hourly",
+    "st2_stateful_per_user",
+    "st3_stream_extract",
+    "st4_stream_dedup",
+    "st5_session_window",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _) in _registry().items()}
+    reg = _registry()
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _ROUND2_PRIORITY:
+        if name in reg:
+            ordered[name] = reg[name][0]
+    for name, (fn, _) in reg.items():
+        if name not in ordered:
+            ordered[name] = fn
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

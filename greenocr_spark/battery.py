@@ -568,13 +568,18 @@ def a12_approx_distinct(spark, sf_dir):
 )
 def a15_pivot(spark, sf_dir):
     # pivot = conditional aggregation with a fixed value list (always give
-    # Spark the list — inferring it costs an extra distinct scan at 10^12)
+    # Spark the list — inferring it costs an extra distinct scan at 10^12).
+    # coalesce pins absent combinations to 0, matching count(*) FILTER.
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
         .count()
         .withColumnsRenamed({"1-URGENT": "urgent", "3-MEDIUM": "medium", "5-LOW": "low"})
+        .select(
+            "o_orderstatus",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("urgent", "medium", "low")],
+        )
     )
 
 

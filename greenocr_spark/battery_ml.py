@@ -160,14 +160,20 @@ def dd3_minhash_band_pairs(spark, sf_dir):
     )
 
 
+_DD4_MAX_DF = 0.5  # drop tokens present in more than this fraction of docs
+
+
 @q(
     "dd4_word_jaccard_pairs",
-    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents
-                   WHERE doc_id < 40),
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
     uw AS (SELECT DISTINCT doc_id, unnest(ws) AS word FROM w),
-    cnt AS (SELECT doc_id, count(*) AS n FROM uw GROUP BY doc_id),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM uw),
+    dft AS (SELECT word, count(*) AS df FROM uw GROUP BY word),
+    okw AS (SELECT word FROM dft, nd WHERE df <= {_DD4_MAX_DF} * n),
+    uwf AS (SELECT uw.doc_id, uw.word FROM uw JOIN okw USING (word)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM uwf GROUP BY doc_id),
     common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-               FROM uw a JOIN uw b ON a.word = b.word AND a.doc_id < b.doc_id
+               FROM uwf a JOIN uwf b ON a.word = b.word AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(c / (ca.n + cb.n - c), 4) AS jaccard
@@ -176,18 +182,29 @@ def dd3_minhash_band_pairs(spark, sf_dir):
     WHERE c / (ca.n + cb.n - c) >= 0.5""",
 )
 def dd4_word_jaccard_pairs(spark, sf_dir):
-    # n-gram (n=1) Jaccard near-dup: explode distinct tokens, self-join on
-    # token, |A∩B| / (|A|+|B|−|A∩B|). At scale the join key is the token —
-    # skewed common tokens would be dropped by an idf filter (kept here for
-    # oracle exactness; the sf corpus vocabulary is tiny).
+    # n-gram (n=1) Jaccard near-dup over the document-frequency-filtered
+    # vocabulary: tokens present in more than _DD4_MAX_DF of all docs are
+    # dropped BEFORE the token self-join (the CCNet/idf trick). That is what
+    # makes this scale: the join key's max multiplicity is bounded by
+    # max_df × n_docs, so a web-scale stopword ("the", df≈1) can never make
+    # the self-join quadratic. Jaccard = |A∩B|/(|A|+|B|−|A∩B|) over the
+    # surviving vocabulary, mirrored exactly in the oracle.
     uw = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 40)
         .select("doc_id", F.explode(_spark_words()).alias("word"))
         .distinct()
     )
-    cnt = uw.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = uw.alias("a"), uw.alias("b")
+    nd = uw.agg(F.countDistinct("doc_id").alias("nd"))
+    ok = (
+        uw.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= _DD4_MAX_DF * F.col("nd"))
+        .select("word")
+    )
+    uwf = uw.join(ok, "word").select("doc_id", "word")
+    cnt = uwf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = uwf.alias("a"), uwf.alias("b")
     common = (
         a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -291,29 +308,23 @@ def ann1_cosine_topk(spark, sf_dir):
     )
 
 
-def _lsh_bucket_sql() -> str:
+def _lsh_bucket_sql_expr(col: str = "embedding") -> str:
     # 8 deterministic ±1 hyperplanes: sign pattern of plane b at dim i is
     # +1 iff (i*(b+3)) % 7 < 4  (i is 0-based dim index)
     terms = []
     for b in range(8):
         dot = (
             f"list_sum(list_transform(range(1, 65), i -> "
-            f"CASE WHEN ((i - 1) * {b + 3}) % 7 < 4 THEN CAST(embedding[i] AS DOUBLE) "
-            f"ELSE -CAST(embedding[i] AS DOUBLE) END))"
+            f"CASE WHEN ((i - 1) * {b + 3}) % 7 < 4 THEN CAST({col}[i] AS DOUBLE) "
+            f"ELSE -CAST({col}[i] AS DOUBLE) END))"
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
-    return (
-        f"SELECT bucket, count(*) AS n FROM (SELECT CAST({' + '.join(terms)} AS BIGINT) "
-        f"AS bucket FROM embeddings) GROUP BY bucket"
-    )
+    return f"CAST({' + '.join(terms)} AS BIGINT)"
 
 
-@q("ann2_lsh_buckets", _lsh_bucket_sql())
-def ann2_lsh_buckets(spark, sf_dir):
-    # Sign-LSH bucketing: the ANN scale path — candidate generation becomes
-    # an equi-join on an 8-bit bucket instead of an all-pairs scan.
-    e = t(spark, sf_dir, "embeddings")
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+def _lsh_bucket_col(emb=None):
+    """Spark twin of _lsh_bucket_sql_expr: 8-bit sign-LSH bucket id."""
+    dbl = F.transform(emb if emb is not None else F.col("embedding"), lambda x: x.cast("double"))
     bucket = None
     for b in range(8):
         signed = F.zip_with(
@@ -324,8 +335,20 @@ def ann2_lsh_buckets(spark, sf_dir):
         dot = F.aggregate(signed, F.lit(0.0), lambda a, x: a + x)
         term = F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
+@q(
+    "ann2_lsh_buckets",
+    f"""SELECT bucket, count(*) AS n FROM (SELECT {_lsh_bucket_sql_expr()}
+        AS bucket FROM embeddings) GROUP BY bucket""",
+)
+def ann2_lsh_buckets(spark, sf_dir):
+    # Sign-LSH bucketing: the ANN scale path — candidate generation becomes
+    # an equi-join on an 8-bit bucket instead of an all-pairs scan.
+    e = t(spark, sf_dir, "embeddings")
     return (
-        e.select(bucket.cast("long").alias("bucket"))
+        e.select(_lsh_bucket_col().alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
@@ -400,6 +423,111 @@ def dd6_embedding_neardup(spark, sf_dir):
         )
         .filter(F.col("_cos") >= 0.25)
         .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos"))
+    )
+
+
+# Multi-table sign-LSH for near-dup candidate generation: _DD7_TABLES
+# tables × _DD7_BITS hyperplanes each (OR-amplification, the banded-LSH
+# trick dd3 uses for MinHash). One table of k bits has collision prob
+# p^k per pair (p = 1 - angle/π); the union over L tables lifts recall to
+# 1-(1-p^k)^L while each table's equi-join stays bounded.
+_DD7_TABLES, _DD7_BITS = 4, 4
+
+
+def _plane_dot_sql(col: str, plane: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> "
+        f"CASE WHEN ((i - 1) * {plane + 3}) % 7 < 4 THEN CAST({col}[i] AS DOUBLE) "
+        f"ELSE -CAST({col}[i] AS DOUBLE) END))"
+    )
+
+
+def _table_bucket_sql(col: str, table: int) -> str:
+    terms = [
+        f"(CASE WHEN {_plane_dot_sql(col, table * _DD7_BITS + b)} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_DD7_BITS)
+    ]
+    return f"CAST({' + '.join(terms)} AS BIGINT)"
+
+
+def _table_bucket_col(table: int, emb=None):
+    dbl = F.transform(emb if emb is not None else F.col("embedding"), lambda x: x.cast("double"))
+    bucket = None
+    for b in range(_DD7_BITS):
+        plane = table * _DD7_BITS + b
+        signed = F.zip_with(
+            dbl,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda x, i: F.when((i * (plane + 3)) % 7 < 4, x).otherwise(-x),
+        )
+        dot = F.aggregate(signed, F.lit(0.0), lambda a, x: a + x)
+        term = F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
+@q(
+    "dd7_lsh_neardup",
+    f"""WITH n AS (SELECT vec_id,
+                    {", ".join(f"{_table_bucket_sql('embedding', tb)} AS b{tb}" for tb in range(_DD7_TABLES))},
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)
+                        / sqrt(list_sum(list_transform(embedding,
+                              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS emb
+             FROM embeddings),
+    e AS (SELECT vec_id, emb, tb,
+                 CASE tb {" ".join(f"WHEN {tb} THEN b{tb}" for tb in range(_DD7_TABLES))} END AS bk
+          FROM n, unnest([{", ".join(str(tb) for tb in range(_DD7_TABLES))}]) AS u(tb))
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_AB}, 4) AS cos
+    FROM e a JOIN e b ON a.tb = b.tb AND a.bk = b.bk AND a.vec_id < b.vec_id
+    WHERE {_DOT_AB} >= 0.25""",
+)
+def dd7_lsh_neardup(spark, sf_dir):
+    # The SCALE path for embedding near-dup (VERDICT r01 item 3): candidate
+    # generation = equi-join on (table, bucket) over 4 sign-LSH tables of
+    # 4 bits each, then exact-cosine refine (dd6's expression) inside the
+    # buckets only, DISTINCT to merge multi-table hits. No nested-loop pair
+    # join anywhere (pinned by tests/test_ml_battery.py): per-table join
+    # multiplicity is bounded by the largest bucket, and the whole pipeline
+    # is one shuffle on the (table, bucket) key. dd6 stays as the bounded
+    # brute-force correctness baseline; this runs at 10^12 rows.
+    e = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    n = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.sqrt(sq)).alias("emb"),
+        *[_table_bucket_col(tb).alias(f"b{tb}") for tb in range(_DD7_TABLES)],
+    )
+    ex = n.select(
+        "vec_id",
+        "emb",
+        F.posexplode(F.array(*[F.col(f"b{tb}") for tb in range(_DD7_TABLES)])).alias(
+            "tb", "bk"
+        ),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.tb") == F.col("b.tb"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dot.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= 0.25)
+        .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos"))
+        .distinct()
     )
 
 
@@ -495,7 +623,7 @@ def ann3_ivf_topk(spark, sf_dir):
     "w9_sessionize",
     """WITH g AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id, event_id, ts,
@@ -503,30 +631,32 @@ def ann3_ivf_topk(spark, sf_dir):
                                   ROWS UNBOUNDED PRECEDING) AS session_id
           FROM g)
     SELECT user_id, session_id, count(*) AS n_events,
-           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
     FROM s GROUP BY user_id, session_id""",
 )
 def w9_sessionize(spark, sf_dir):
     # Gap-based sessionization (30-min inactivity): lag → boundary flag →
     # running sum = session id → per-session agg. One shuffle on user_id;
     # all three windows share the same partitioning so Spark keeps one sort.
+    # Gap + duration compare at MICROSECOND precision on both sides (ADVICE
+    # r01: second-truncated epochs could mis-sessionize a gap in (1800,1801]s).
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet stores TIMESTAMP_NTZ — route through timestamp for epoch secs
-    sec = F.col("ts").cast("timestamp").cast("long")
-    gap = sec - F.lag(sec).over(w)
-    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # parquet stores TIMESTAMP_NTZ — route through timestamp for epoch micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
         t(spark, sf_dir, "events")
         .withColumn("new_s", new_s)
-        .withColumn("sec", sec)
+        .withColumn("us", us)
         .withColumn("session_id", F.sum("new_s").over(run))
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            (F.max("sec") - F.min("sec")).cast("long").alias("duration_s"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
         )
     )
 
@@ -626,36 +756,70 @@ def tx2_quality_score(spark, sf_dir):
     )
 
 
-_EN_HINTS = ("the", "a", "of", "and", "value", "table", "fast")
-_DE_HINTS = ("der", "die", "das", "und", "nicht", "mit")
+# Frozen char-trigram profiles (top discriminative trigrams per language,
+# ASCII-only so Java/DuckDB literal semantics coincide byte-for-byte).
+# Score(doc, lang) = #profile trigrams present in " "+lower(canon(text))+" ";
+# pred = argmax with fixed tie-break order; 'und' when every score is 0.
+_LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "nd ", "ing", " of", "ion"),
+    "de": ("der", "ein", "sch", "ich", "die", "und", "ung", "cht"),
+    "fr": (" le", "les", "ent", "que", "ait", "our", "ais", "eur"),
+    "es": (" el", "los", " la", "ado", "nte", "cio", "ar ", "una"),
+    "it": (" di", "che", "ell", "zio", "gli", "ita", "ono", "lla"),
+}
+_LANG_ORDER = tuple(_LANG_TRIGRAMS)  # tie-break priority: en,de,fr,es,it
 
 
-@q(
-    "tx3_lang_id",
-    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents)
-    SELECT doc_id,
-           CASE WHEN len(list_filter(ws, x -> x IN {str(tuple(_EN_HINTS))}))
-                     >= len(list_filter(ws, x -> x IN {str(tuple(_DE_HINTS))}))
-                     AND len(list_filter(ws, x -> x IN {str(tuple(_EN_HINTS))})) > 0
-                THEN 'en'
-                WHEN len(list_filter(ws, x -> x IN {str(tuple(_DE_HINTS))})) > 0
-                THEN 'de' ELSE 'und' END AS pred_lang
-    FROM w""",
-)
-def tx3_lang_id(spark, sf_dir):
-    # language-ID n-gram/stopword heuristic (scale path: broadcast hint
-    # lists; one narrow pass)
-    ws = _spark_words()
-    en_arr = F.array(*[F.lit(s) for s in _EN_HINTS])
-    de_arr = F.array(*[F.lit(s) for s in _DE_HINTS])
-    n_en = F.size(F.filter(ws, lambda x: F.array_contains(en_arr, x)))
-    n_de = F.size(F.filter(ws, lambda x: F.array_contains(de_arr, x)))
-    pred = (
-        F.when((n_en >= n_de) & (n_en > 0), F.lit("en"))
-        .when(n_de > 0, F.lit("de"))
-        .otherwise(F.lit("und"))
+def _tx3_oracle() -> str:
+    scores = ", ".join(
+        " + ".join(f"(CASE WHEN contains(pt, '{g}') THEN 1 ELSE 0 END)" for g in grams)
+        + f" AS s_{lang}"
+        for lang, grams in _LANG_TRIGRAMS.items()
     )
-    return t(spark, sf_dir, "documents").select("doc_id", pred.alias("pred_lang"))
+    best = f"greatest({', '.join('s_' + lo for lo in _LANG_ORDER)})"
+    whens = " ".join(f"WHEN s_{lo} = {best} THEN '{lo}'" for lo in _LANG_ORDER)
+    return f"""
+    WITH p AS (SELECT doc_id,
+                      ' ' || lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) || ' ' AS pt
+               FROM documents),
+    s AS (SELECT doc_id, {scores} FROM p)
+    SELECT doc_id, CASE WHEN {best} = 0 THEN 'und' {whens} END AS pred_lang
+    FROM s"""
+
+
+def lang_id_col(text_col="text"):
+    """Predicted-language Column for any string column (used by tx3 and by
+    tests over real multilingual sentences)."""
+    padded = F.concat(
+        F.lit(" "),
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+        F.lit(" "),
+    )
+    scores = {
+        lang: sum(
+            F.when(F.contains(padded, F.lit(g)), 1).otherwise(0) for g in grams
+        )
+        for lang, grams in _LANG_TRIGRAMS.items()
+    }
+    best = F.greatest(*[scores[lo] for lo in _LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lo in _LANG_ORDER:
+        pred = pred.when(scores[lo] == best, F.lit(lo))
+    return pred
+
+
+@q("tx3_lang_id", _tx3_oracle())
+def tx3_lang_id(spark, sf_dir):
+    # Language ID via char-trigram profiles (the n-gram-profile method of
+    # Cavnar & Trenkle 1994, presence-count variant): the profile table is a
+    # frozen constant folded into the plan (broadcast-by-construction), the
+    # scoring is one narrow JVM pass — no shuffle, no Python. The same
+    # _LANG_TRIGRAMS constant generates the DuckDB oracle, so both engines
+    # score identically by construction. Multilingual discrimination is
+    # pinned by tests/test_ml_battery.py over real DE/FR/ES/IT sentences.
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id_col().alias("pred_lang")
+    )
 
 
 @q(

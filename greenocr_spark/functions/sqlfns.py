@@ -60,15 +60,32 @@ def adaptive_salted_part_id(
     from pyspark.sql import functions as F
 
     host = host_expr(url_col)
-    total = df.count()
-    hot = [
-        r["h"]
-        for r in df.select(host.alias("h"))
-        .groupBy("h")
-        .count()
-        .filter(F.col("count") > hot_frac * total)
-        .collect()
-    ]
+    # ONE scan of the input: materialize the per-host count aggregate
+    # (#hosts rows << #rows), then derive the grand total and the hot set
+    # from that cached aggregate — the old separate df.count() was a second
+    # full pass over the input (VERDICT r01 item 4).
+    per_host = df.select(host.alias("h")).groupBy("h").count().cache()
+    try:
+        total = per_host.agg(F.sum("count")).first()[0] or 0
+        hot = [
+            r["h"]
+            for r in per_host.filter(F.col("count") > hot_frac * total).collect()
+        ]
+    finally:
+        per_host.unpersist()
+    return (
+        df.withColumn("part_id", hot_salted_part_id(url_col, hot, n_parts, n_salts)),
+        hot,
+    )
+
+
+def hot_salted_part_id(url_col: str, hot: list, n_parts: int, n_salts: int = 8) -> Column:
+    """part_id for a KNOWN hot-host list: hot hosts get the per-url salt
+    folded in, cold hosts hash by host alone. Split out so a resumed job can
+    reuse the hot list persisted by the first run (part_id stability across
+    runs must not depend on re-deriving hot hosts from a changed input —
+    ADVICE r01)."""
+    host = host_expr(url_col)
     if hot:
         hot_arr = F.array(*[F.lit(h) for h in hot])
         key = F.when(
@@ -77,7 +94,7 @@ def adaptive_salted_part_id(
         ).otherwise(F.xxhash64(host))
     else:
         key = F.xxhash64(host)
-    return df.withColumn("part_id", F.pmod(key, F.lit(n_parts))), hot
+    return F.pmod(key, F.lit(n_parts))
 
 
 def pdf_magic_expr(html_col) -> Column:

@@ -57,7 +57,15 @@ def ingest_pages(
         pages = pages.join(existing, "url", "left_anti")
     except Exception:
         pass  # first ingest: nothing to dedup against
-    n = pages.count()
-    if n:
-        pages.write.mode("append").partitionBy("part_id").parquet(target_dir)
+    # Persist before count-then-append: the count() fully materializes the
+    # anti-joined frame, so (a) the appended rows are exactly the counted
+    # rows even for nondeterministic inputs, and (b) the append never
+    # re-lists the target directory it is writing into (ADVICE r01).
+    pages = pages.persist()
+    try:
+        n = pages.count()
+        if n:
+            pages.write.mode("append").partitionBy("part_id").parquet(target_dir)
+    finally:
+        pages.unpersist()
     return n

@@ -88,14 +88,37 @@ def run_extract_job(
     distributions); 'adaptive' salts only hosts carrying >5% of rows and
     keeps the long tail host-local (Scarlett-style skew handling — one
     extra cheap host-count aggregation). NOTE: resume requires the SAME
-    salting mode across runs (part_id assignment must be stable)."""
+    salting mode across runs; in adaptive mode the hot-host list is
+    persisted next to the manifest on the first run and REUSED on resume,
+    so part_id assignment stays stable even if the input dataset drifted
+    between runs (ADVICE r01)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     if salting == "adaptive":
-        from greenocr_spark.functions.sqlfns import adaptive_salted_part_id
+        from greenocr_spark.functions.sqlfns import (
+            adaptive_salted_part_id,
+            hot_salted_part_id,
+        )
 
-        pages, _hot = adaptive_salted_part_id(pages, "url", n_parts, n_salts)
+        # hot-host list lives next to the manifest (same FS as the data, via
+        # Spark, so s3a/hdfs out_dirs work) and is REUSED on resume
+        hot_dir = os.path.join(out_dir, "hot_hosts")
+        hot = None
+        if resume:
+            try:
+                hot = [r["h"] for r in spark.read.parquet(hot_dir).collect()]
+            except Exception:
+                hot = None  # first run: derive and persist below
+        if hot is not None:
+            pages = pages.withColumn(
+                "part_id", hot_salted_part_id("url", hot, n_parts, n_salts)
+            )
+        else:
+            pages, hot = adaptive_salted_part_id(pages, "url", n_parts, n_salts)
+            spark.createDataFrame([(h,) for h in hot], "h string").coalesce(
+                1
+            ).write.mode("overwrite").parquet(hot_dir)
         if resume:
             manifest = read_manifest(spark, out_dir)
             if manifest is not None:

@@ -16,6 +16,10 @@ PAGES_DDL = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
 
+# every entry point shares this: a source/target with one of these prefixes
+# is a filesystem path (parquet dir); anything else is a catalog table name
+PATH_PREFIXES = ("/", "file:", "s3:", "s3a:", "hdfs:")
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
@@ -27,7 +31,7 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def read_pages(spark: SparkSession, source: str) -> DataFrame:
     """`source` is an Iceberg table name (catalog.db.tbl) or a parquet path."""
-    if source.startswith(("/", "file:", "s3:", "s3a:", "hdfs:")):
+    if source.startswith(PATH_PREFIXES):
         return spark.read.parquet(source)
     return spark.read.table(source)
 
@@ -35,7 +39,7 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
 def write_pages(df: DataFrame, target: str, mode: str = "append") -> None:
     """Append rows to the pages store. Iceberg: `writeTo(...).append()`
     (atomic snapshot); parquet fallback: directory append."""
-    if target.startswith(("/", "file:", "s3:", "s3a:", "hdfs:")):
+    if target.startswith(PATH_PREFIXES):
         df.write.mode(mode).parquet(target)
     elif mode == "append":
         df.writeTo(target).append()
@@ -48,7 +52,7 @@ def write_extracted(df: DataFrame, target: str, partition_col: str = "part_id") 
     `overwritePartitions()` (the dynamic-overwrite equivalent with snapshot
     atomicity); parquet gets dynamic partitionOverwriteMode — both make
     re-running a partition after a crash self-healing (plans/job.py)."""
-    if target.startswith(("/", "file:", "s3:", "s3a:", "hdfs:")):
+    if target.startswith(PATH_PREFIXES):
         df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
     else:
         df.writeTo(target).overwritePartitions()

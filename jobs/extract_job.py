@@ -54,11 +54,11 @@ def main() -> None:
         write_pages_parquet(p, args.fixture_pages)
         pages = spark.read.parquet(p)
     else:
-        pages = (
-            spark.read.table(args.input)
-            if not args.input.startswith(("/", "file:", "s3:", "hdfs:"))
-            else spark.read.parquet(args.input)
-        )
+        # shared path-vs-table routing (ADVICE r01: an s3a:// input must not
+        # be misrouted to spark.read.table)
+        from greenocr_spark.sources.pages import read_pages
+
+        pages = read_pages(spark, args.input)
     if args.limit:
         pages = pages.limit(args.limit)
 
