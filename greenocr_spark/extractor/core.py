@@ -147,12 +147,19 @@ def tokenize_blocks(markup: str) -> list:
     Tolerant by construction: unbalanced tags can't break it because tags are
     treated as separators/context switches, never required to nest. Entities
     are decoded per text segment (single pass — double-encoded entities
-    surface their one-level-decoded form, frozen spec)."""
+    surface their one-level-decoded form, frozen spec).
+
+    Hot path (round-2 rewrite, byte-identical by tests/test_core.py +
+    the fixture-corpus hash gate): one _TAG_RE.split() does the whole
+    segmentation in C — the list alternates [text, slash, name, text, ...]
+    — replacing the finditer loop's per-match Match objects, .group()
+    calls and markup[pos:start] slicing. Text runs and link-text runs
+    accumulate in two flat string lists (no per-segment tuples)."""
     blocks: list = []
-    segs: list = []  # (text, in_link) accumulated since last flush
+    seg_texts: list = []  # all text accumulated since last flush
+    seg_links: list = []  # the subset that was inside <a> context
     stack: list = []  # open block-tag context
     link_depth = 0
-    pos = 0
     idx = 0
 
     def clean(raw: str) -> str:
@@ -164,53 +171,57 @@ def tokenize_blocks(markup: str) -> list:
 
     def flush():
         nonlocal link_depth, idx
-        if segs:
-            raw = "".join(t for t, _ in segs)
+        if seg_texts:
+            raw = "".join(seg_texts)
             # whitespace-only runs between tags are the common case; their
             # cleaned form is always '' (no '&' ⇒ no unescape surprises)
             if raw and not (raw.isspace() and "&" not in raw):
                 text = clean(raw)
                 if text:
-                    if any(in_l for _, in_l in segs):
-                        link_raw = " ".join(t for t, in_l in segs if in_l)
-                        link_chars = len(clean(link_raw))
-                    else:
-                        link_chars = 0
+                    link_chars = len(clean(" ".join(seg_links))) if seg_links else 0
                     tag = stack[-1] if stack else "body"
                     blocks.append(Block(idx, tag, text, link_chars))
                     idx += 1
-            del segs[:]
+            del seg_texts[:]
+            del seg_links[:]
         link_depth = 0
 
-    segs_append = segs.append
+    texts_append = seg_texts.append
+    links_append = seg_links.append
     block_tags, void_tags = BLOCK_TAGS, VOID_TAGS
-    for m in _TAG_RE.finditer(markup):
-        start = m.start()
-        if start > pos:
-            segs_append((markup[pos:start], link_depth > 0))
-        pos = m.end()
-        slash, name = m.group(1, 2)
-        if name is None:
-            continue  # <!DOCTYPE ...>, <?xml ...>, stray junk: pure separator
-        name = name.lower()
-        if name == "a":
-            if slash:
-                link_depth = max(0, link_depth - 1)
-            else:
-                link_depth += 1
-        elif name in block_tags:
-            if segs or link_depth:
-                flush()  # no-op otherwise; guard skips the call overhead
-            if name in void_tags:
-                continue
-            if slash:
-                if name in stack:
-                    while stack and stack.pop() != name:
-                        pass
-            else:
-                stack.append(name)
-    if pos < len(markup):
-        segs_append((markup[pos:], link_depth > 0))
+    parts = _TAG_RE.split(markup)
+    if parts[0]:
+        texts_append(parts[0])
+    i, n = 1, len(parts)
+    while i < n:
+        slash = parts[i]
+        name = parts[i + 1]
+        trailing = parts[i + 2]
+        i += 3
+        # name is None for <!DOCTYPE ...>, <?xml ...>, stray junk: the tag
+        # is a pure separator, only its trailing text matters
+        if name is not None:
+            name = name.lower()
+            if name == "a":
+                if slash:
+                    if link_depth:
+                        link_depth -= 1
+                else:
+                    link_depth += 1
+            elif name in block_tags:
+                if seg_texts or link_depth:
+                    flush()  # no-op otherwise; guard skips the call overhead
+                if name not in void_tags:
+                    if slash:
+                        if name in stack:
+                            while stack and stack.pop() != name:
+                                pass
+                    else:
+                        stack.append(name)
+        if trailing:
+            texts_append(trailing)
+            if link_depth:
+                links_append(trailing)
     flush()
     return blocks
 
@@ -247,14 +258,15 @@ def score_blocks(blocks: list, cfg: ExtractorConfig = DEFAULT_CONFIG) -> dict:
     if n == 0:
         z = np.zeros(0, dtype=np.float64)
         return {"raw": z, "norm": z, "smooth": z, "sharp": z}
-    raw = np.array(
-        [
+    raw = np.fromiter(
+        (
             b.n_chars
             * (1.0 - b.link_density)
             * (cfg.boiler_tag_penalty if b.tag in BOILER_TAGS else 1.0)
             for b in blocks
-        ],
+        ),
         dtype=np.float64,
+        count=n,
     )
     srt = np.sort(raw)
     lo = _pctl_linear(srt, cfg.contrast_lo)
@@ -281,9 +293,10 @@ def classify_blocks(blocks: list, scores: dict, cfg: ExtractorConfig = DEFAULT_C
     clears the threshold."""
     if len(blocks) == 0:
         return np.zeros(0, dtype=np.int64)
-    gates = np.array(
-        [b.n_chars >= cfg.min_chars and b.link_density <= cfg.max_link_density for b in blocks],
+    gates = np.fromiter(
+        (b.n_chars >= cfg.min_chars and b.link_density <= cfg.max_link_density for b in blocks),
         dtype=bool,
+        count=len(blocks),
     )
     good = scores["sharp"] >= cfg.threshold
     promoted = (scores["raw"] >= cfg.neargood_chars) & (scores["smooth"] >= cfg.threshold)

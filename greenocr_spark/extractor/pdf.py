@@ -114,91 +114,102 @@ def build_pdf(pages, compress: bool = False) -> bytes:
 # --------------------------------------------------------------------------
 
 
+# Tokenizer hot-path tables (round-2 rewrite: index bytes as ints — no
+# per-byte bytes-object allocation — and match precompiled regexes AT a
+# position instead of re.match on a data[i:] copy; token stream is
+# byte-identical, pinned by tests/test_pdf.py + the fixture hash gate).
+_PDF_WS = frozenset(b" \t\n\r\x0b\x0c")  # == single-byte bytes.isspace()
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_HEX_WS_RE = re.compile(rb"\s")
+_NAME_RE = re.compile(rb"/[^\s\[\]()<>/]*")
+_NUM_START = frozenset(b"-+.0123456789")
+_NUM_RE = re.compile(rb"[-+.0-9]+")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_ESC_MAP = {0x6E: "\n", 0x72: "\r", 0x74: "\t", 0x62: "\b", 0x66: "\f"}
+
+
 def _tokenize_content(data: bytes):
     """Yield tokens from a content stream: ('str', text), ('num', float),
     ('op', name), ('arr', [tokens])."""
     i, n = 0, len(data)
+    ws = _PDF_WS
     while i < n:
-        c = data[i : i + 1]
-        if c.isspace():
+        c = data[i]
+        if c in ws:
             i += 1
-        elif c == b"(":
-            # PDF literal string with escapes and balanced parens
+        elif c == 0x28:  # '(' — PDF literal string, escapes, balanced parens
             buf = []
             depth = 1
             i += 1
             while i < n and depth > 0:
-                ch = data[i : i + 1]
-                if ch == b"\\" and i + 1 < n:
-                    nxt = data[i + 1 : i + 2]
-                    mapping = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f"}
-                    if nxt in mapping:
-                        buf.append(mapping[nxt])
-                    else:
-                        buf.append(nxt.decode("latin-1"))
+                ch = data[i]
+                if ch == 0x5C and i + 1 < n:  # backslash escape
+                    nxt = data[i + 1]
+                    esc = _ESC_MAP.get(nxt)
+                    buf.append(esc if esc is not None else chr(nxt))
                     i += 2
                     continue
-                if ch == b"(":
+                if ch == 0x28:
                     depth += 1
-                elif ch == b")":
+                elif ch == 0x29:
                     depth -= 1
                     if depth == 0:
                         i += 1
                         break
-                buf.append(ch.decode("latin-1"))
+                buf.append(chr(ch))  # latin-1 single byte == chr
                 i += 1
             yield ("str", "".join(buf))
-        elif c == b"<":
-            if data[i : i + 2] == b"<<":  # inline dict — skip past '>>'
+        elif c == 0x3C:  # '<'
+            if i + 1 < n and data[i + 1] == 0x3C:  # '<<' inline dict — skip
                 end = data.find(b">>", i + 2)
                 i = n if end < 0 else end + 2
                 continue
-            m = re.match(rb"<([0-9A-Fa-f\s]*)>", data[i:])
+            m = _HEX_RE.match(data, i)
             if m:
-                hx = re.sub(rb"\s", b"", m.group(1))
+                hx = _HEX_WS_RE.sub(b"", m.group(1))
                 if len(hx) % 2:
                     hx += b"0"  # PDF spec: odd-length hex pads with 0
                 try:
                     yield ("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
                 except ValueError:
                     pass
-                i += m.end()
+                i = m.end()
             else:
                 i += 1
-        elif c == b"[":
+        elif c == 0x5B:  # '['
             j = i + 1
             depth = 1
             while j < n and depth > 0:
-                cj = data[j : j + 1]
-                if cj == b"(":  # skip strings (may contain brackets)
+                cj = data[j]
+                if cj == 0x28:  # skip strings (may contain brackets)
                     j += 1
-                    while j < n and data[j : j + 1] != b")":
-                        if data[j : j + 1] == b"\\":
+                    while j < n and data[j] != 0x29:
+                        if data[j] == 0x5C:
                             j += 1
                         j += 1
-                elif cj == b"[":
+                elif cj == 0x5B:
                     depth += 1
-                elif cj == b"]":
+                elif cj == 0x5D:
                     depth -= 1
                 j += 1
             yield ("arr", list(_tokenize_content(data[i + 1 : j - 1])))
             i = j
-        elif c == b"/":
-            m = re.match(rb"/[^\s\[\]()<>/]*", data[i:])
-            i += m.end()
+        elif c == 0x2F:  # '/'
+            m = _NAME_RE.match(data, i)
             yield ("name", m.group(0).decode("latin-1"))
-        elif re.match(rb"[-+.0-9]", c):
-            m = re.match(rb"[-+.0-9]+", data[i:])
+            i = m.end()
+        elif c in _NUM_START:
+            m = _NUM_RE.match(data, i)
             try:
                 yield ("num", float(m.group(0)))
             except ValueError:
                 pass
-            i += m.end()
+            i = m.end()
         else:
-            m = re.match(rb"[A-Za-z'\"*]+", data[i:])
+            m = _OP_RE.match(data, i)
             if m:
                 yield ("op", m.group(0).decode("latin-1"))
-                i += m.end()
+                i = m.end()
             else:
                 i += 1
 
