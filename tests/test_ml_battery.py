@@ -86,6 +86,35 @@ def test_dd7_recall_vs_bruteforce(spark):
         assert len(lsh80) / len(brute) >= 0.2  # LSH recall floor (8-bit, 1 table)
 
 
+def test_adaptive_salting_bounds_task_skew(spark, tmp_path):
+    """The straggler bound behind BENCH/run_soak.py's task med/max column:
+    on the Zipf fixture corpus (one host ~30% of rows) the adaptive-salted
+    partitioning keeps max/median partition load small, while raw host
+    hashing leaves a ~8x straggler. Per-partition row count is the
+    deterministic proxy for task time (per-doc extract cost is uniform)."""
+    import statistics
+
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.functions.sqlfns import adaptive_salted_part_id, host_expr
+
+    p = str(tmp_path / "pages.parquet")
+    write_pages_parquet(p, 1000)
+    pages = spark.read.parquet(p)
+
+    keyed, hot = adaptive_salted_part_id(pages, "url", n_parts=32, n_salts=8)
+    counts = sorted(r["count"] for r in keyed.groupBy("part_id").count().collect())
+    ratio = counts[-1] / statistics.median(counts)
+    assert hot == ["big.example.com"]
+    assert counts[-1] < 0.30 * 1000  # the hot host's 30% never lands on one task
+    assert ratio <= 4.0
+
+    nosalt = pages.withColumn(
+        "part_id", F.pmod(F.xxhash64(host_expr("url")), F.lit(32))
+    )
+    c2 = sorted(r["count"] for r in nosalt.groupBy("part_id").count().collect())
+    assert c2[-1] / statistics.median(c2) >= 6.0  # the counterfactual straggler
+
+
 def test_adaptive_salting_single_input_scan(spark):
     """VERDICT r01 item 4: deriving the total from the per-host aggregate
     (not a separate df.count()) means ONE pass over the input. We assert the
