@@ -120,6 +120,22 @@ def main() -> None:
 
     n_pages = synth_pages(spark, args.sf_dir).count()
 
+    # Host-calibration index: single-core extraction docs/s measured on the
+    # driver right now. Absolute suite numbers vary with the VM the round
+    # lands on (vCPU speed, steal, memory bandwidth); dividing any docs/s in
+    # this report by this index gives a host-independent comparison across
+    # rounds/machines.
+    from greenocr_spark.extractor.core import extract_document
+    from greenocr_spark.fixtures import make_pages
+
+    calib_pages = [p["html"] for p in make_pages(600, seed=42)]
+    for p in calib_pages[:100]:
+        extract_document(p)  # warm
+    c0 = time.perf_counter()
+    for p in calib_pages:
+        extract_document(p)
+    single_core = len(calib_pages) / (time.perf_counter() - c0)
+
     timings: dict[str, float] = {}
     for name, thunk in bench_queries(spark, args.sf_dir, args.cpus).items():
         best = float("inf")
@@ -140,6 +156,7 @@ def main() -> None:
         "extract_docs_per_sec": docs_per_sec,
         "extract_n_pages": n_pages,
         "cpus": args.cpus,
+        "host_calib_single_core_docs_per_sec": round(single_core, 1),
     }))
     spark.stop()
 

@@ -91,6 +91,38 @@ def canon_ws(s: str) -> str:
     return " ".join(s.split())
 
 
+# Memo for cleaned text runs (round-3 speedup). Web corpora repeat the same
+# boilerplate runs (nav labels, footer legalese, titles) across every page of
+# a host, so the unescape+ctrl-strip+canon_ws chain keeps re-cleaning
+# identical strings. clean() is a pure function, so memoizing it is
+# byte-identical by construction (pinned by the fixture-corpus hash gate).
+# Keys are capped in length (long runs are article body text, rarely
+# repeated) and the dict is capped in size; it lives for the Python worker's
+# lifetime — the cluster analog is a per-executor cache.
+_CLEAN_CACHE: dict = {}
+_CLEAN_CACHE_MAX = 1 << 16
+_CLEAN_KEY_MAX = 512
+
+
+def _clean_run(raw: str) -> str:
+    # unescape is the identity without '&'; skipping it (and the ctrl
+    # scan on short clean text) is a pure fast path, byte-identical
+    if "&" in raw:
+        raw = _htmlmod.unescape(raw)
+    return canon_ws(_CTRL_RE.sub("", raw))
+
+
+def _clean_cached(raw: str) -> str:
+    if len(raw) > _CLEAN_KEY_MAX:
+        return _clean_run(raw)
+    text = _CLEAN_CACHE.get(raw)
+    if text is None:
+        text = _clean_run(raw)
+        if len(_CLEAN_CACHE) < _CLEAN_CACHE_MAX:
+            _CLEAN_CACHE[raw] = text
+    return text
+
+
 def decode_bytes(raw: bytes) -> str:
     """Charset-sniffing byte decode (grayscale-conversion analog).
 
@@ -162,12 +194,7 @@ def tokenize_blocks(markup: str) -> list:
     link_depth = 0
     idx = 0
 
-    def clean(raw: str) -> str:
-        # unescape is the identity without '&'; skipping it (and the ctrl
-        # scan on short clean text) is a pure fast path, byte-identical
-        if "&" in raw:
-            raw = _htmlmod.unescape(raw)
-        return canon_ws(_CTRL_RE.sub("", raw))
+    clean = _clean_cached
 
     def flush():
         nonlocal link_depth, idx
