@@ -150,6 +150,11 @@ def main() -> None:
     for n, n4 in pairs:
         assert n4 == 4 * n, f"pair {n},{n4} is not N,4N"
         n_parts = max(n4 * 4, 64)
+        # size the input to the pair: the 4N run's timed region must be long
+        # enough (~10s) that per-pass fixed costs (task scheduling, Arrow
+        # setup) and host drift don't swamp the ratio — a 3-second region at
+        # 32 cores measures overhead, not throughput
+        replicate = max(args.replicate, n4 // 4)
         # the shared-host's speed drifts minute-to-minute, and each of the
         # four measurements behind one efficiency ratio runs at a different
         # minute — so measure the WHOLE pair several times and keep the
@@ -158,10 +163,10 @@ def main() -> None:
         # drift, the same logic as best-of-K for single timings)
         attempts = []
         for _ in range(args.rounds):
-            s_small = spark_run(n, pages_path, n_parts, args.replicate, args.repeat)
-            s_big = spark_run(n4, pages_path, n_parts, args.replicate, args.repeat)
-            c_small = ceiling_run(n, 12000 * n, pages_path)
-            c_big = ceiling_run(n4, 12000 * n4, pages_path)
+            s_small = spark_run(n, pages_path, n_parts, replicate, args.repeat)
+            s_big = spark_run(n4, pages_path, n_parts, replicate, args.repeat)
+            c_small = ceiling_run(n, 30000 * n, pages_path)
+            c_big = ceiling_run(n4, 30000 * n4, pages_path)
             raw = s_big["docs_per_sec"] / (4 * s_small["docs_per_sec"])
             ceil = c_big["docs_per_sec"] / (4 * c_small["docs_per_sec"])
             attempts.append({

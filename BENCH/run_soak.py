@@ -37,8 +37,11 @@ def _task_skew(spark, n_parts: int):
         app = spark.sparkContext.applicationId
         with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete") as r:
             stages = json.load(r)
+        # the extract+write stage is the one with ~n_parts tasks; stages with
+        # fewer tasks (input synthesis, count, manifest) must not be picked
+        # even when their total runtime is larger
         big = max(
-            (s for s in stages if s.get("numCompleteTasks", 0) >= min(n_parts, 2)),
+            (s for s in stages if s.get("numCompleteTasks", 0) >= 0.9 * n_parts),
             key=lambda s: s.get("executorRunTime", 0),
         )
         url = (
@@ -67,6 +70,11 @@ def soak_one(pages_path: str, replicate: int, cpus: int, salting: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     pages = (
         spark.read.parquet(pages_path)
+        # spread the input synthesis (explode ×replicate) over the executors:
+        # the base parquet is one file → 1-2 scan tasks, and without this the
+        # soak bottlenecks on the generator, not the job (a real Iceberg
+        # table arrives in many files)
+        .repartition(4 * cpus)
         .select("url", "warc_ts", "html", "text", "lang",
                 F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("v"))
         .select(F.concat("url", F.lit("#v"), F.col("v").cast("string")).alias("url"),
