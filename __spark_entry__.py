@@ -50,6 +50,7 @@ _ROUND2_PRIORITY = [
     "dd5_simhash",
     "dd6_embedding_neardup",
     "dd7_lsh_neardup",
+    "dd8_dup_clusters",
     "ann1_cosine_topk",
     "ann2_lsh_buckets",
     "ann3_ivf_topk",
@@ -59,6 +60,7 @@ _ROUND2_PRIORITY = [
     "tx4_fingerprint",
     "tx5_rolling_hash",
     "tx6_punct_ratio",
+    "pipe1_curation",
     "arr1_array_ops",
     "arr2_set_ops",
     "w9_sessionize",

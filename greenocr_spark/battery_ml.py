@@ -160,6 +160,90 @@ def dd3_minhash_band_pairs(spark, sf_dir):
     )
 
 
+def _connected_components(pairs, max_iter: int = 20):
+    """Connected components over an undirected pair list (doc_a, doc_b) →
+    (doc_id, cluster_id) with cluster_id = min member id.
+
+    Hash-to-min with pointer jumping: each round a node takes the min label
+    among itself and its neighbors, then follows its label's label (path
+    halving), so convergence is O(log diameter) rounds — not O(diameter)
+    like plain label propagation. Each round is two key-partitioned
+    joins + one groupBy; no driver-side graph, so it runs at any scale.
+    localCheckpoint truncates the lineage each round (an iterative plan
+    otherwise grows a plan tree Catalyst re-analyzes every action)."""
+    e = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).union(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    e = e.localCheckpoint(eager=True)
+    # init: label(x) = min(x, min neighbor)
+    lab = e.groupBy("s").agg(F.least(F.min("d"), F.col("s")).alias("lab")).select(
+        F.col("s").alias("node"), "lab"
+    )
+    for _ in range(max_iter):
+        # neighbor-min: for each edge (s,d), s sees label(d)
+        nb = (
+            e.join(lab.withColumnRenamed("node", "d"), "d")
+            .groupBy("s")
+            .agg(F.min("lab").alias("nlab"))
+            .withColumnRenamed("s", "node")
+        )
+        stepped = (
+            lab.join(nb, "node", "left")
+            .select("node", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
+        )
+        # pointer jump: label(x) := min(label(x), label(label(x)))
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(F.col("node").alias("lab"), F.col("lab").alias("ll")).alias("y"),
+                "lab",
+                "left",
+            )
+            .select("node", F.least("lab", F.coalesce("ll", "lab")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(lab.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            break
+    return lab.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
+@q(
+    "dd8_dup_clusters",
+    f"""WITH RECURSIVE
+    sig AS ({_MINHASH_ORACLE_SIG}),
+    bands AS (
+        SELECT doc_id, i AS band, {_band_case_sql()} AS bkey
+        FROM sig, unnest([{", ".join(str(b) for b in range(_N_BANDS))}]) AS u(i)),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                       AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+    SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+    FROM reach GROUP BY s""",
+)
+def dd8_dup_clusters(spark, sf_dir):
+    # Near-dup CLUSTERING: dd3's LSH candidate pairs → connected components
+    # → (doc_id, cluster_id = min member). This is the step a real pipeline
+    # runs after pair generation (keep cluster_id == doc_id, drop the rest).
+    # Spark side is distributed hash-to-min + pointer jumping (O(log d)
+    # rounds of key-partitioned joins); the oracle is exact transitive
+    # closure via DuckDB's recursive CTE — different algorithm, same
+    # fixpoint, which is the strongest kind of cross-check.
+    return _connected_components(dd3_minhash_band_pairs(spark, sf_dir))
+
+
 _DD4_MAX_DF = 0.5  # drop tokens present in more than this fraction of docs
 
 
@@ -836,9 +920,22 @@ def tx4_fingerprint(spark, sf_dir):
     )
 
 
-@q("tx5_rolling_hash", None)  # polynomial rolling hash — no portable SQL twin
+@q(
+    "tx5_rolling_hash",
+    """SELECT doc_id,
+              list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                      list_transform(
+                          string_split_regex(
+                              regexp_replace(trim(text), '\\s+', ' ', 'g'), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+       FROM documents""",
+)
 def tx5_rolling_hash(spark, sf_dir):
-    # Karp-Rabin-style rolling hash over characters, JVM-side aggregate
+    # Karp-Rabin-style rolling hash over characters, JVM-side aggregate.
+    # Exact-folded twin: DuckDB list_reduce runs the identical left fold with
+    # the identical per-step mod, so even this is value-checked.
     chars = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), "")
     rolled = F.aggregate(
         chars,
@@ -871,6 +968,56 @@ def tx6_punct_ratio(spark, sf_dir):
             n_punct.cast("long").alias("n_punct"),
             F.round(n_punct / F.length("text").cast("double"), 6).alias("punct_ratio"),
         )
+    )
+
+
+@q(
+    "pipe1_curation",
+    f"""WITH w AS (SELECT doc_id, lang, text, {_duck_words()} AS ws FROM documents),
+    q AS (SELECT doc_id, lang, text, len(ws) AS n_tokens,
+                 list_sum(list_transform(ws, x -> length(x)))
+                     / CAST(len(ws) AS DOUBLE) AS mwl
+          FROM w),
+    g AS (SELECT * FROM q
+          WHERE n_tokens >= 20 AND mwl BETWEEN 2.0 AND 12.0
+            AND lang IN ('en', 'de', 'fr', 'es')),
+    d AS (SELECT doc_id, lang, n_tokens, md5(substring(text, 1, 40)) AS sig,
+                 row_number() OVER (PARTITION BY md5(substring(text, 1, 40))
+                                    ORDER BY doc_id) AS rn
+          FROM g)
+    SELECT doc_id, lang, sig, n_tokens FROM d WHERE rn = 1""",
+)
+def pipe1_curation(spark, sf_dir):
+    # End-to-end corpus CURATION pass — the composition a real training-data
+    # pipeline runs, built entirely from this battery's primitives:
+    # tokenize (tx1) → quality gates (tx2: token count + mean word length)
+    # → language filter (tx3's output column) → exact dedup keep-first (dd1).
+    # One narrow scan computes all metrics, then a single shuffle on the
+    # dedup signature for the keep-first window — at 10^12 rows that is the
+    # minimal-shuffle plan for this semantics.
+    ws = _spark_words()
+    sum_len = F.aggregate(
+        F.transform(ws, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    q_ = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(ws).cast("long").alias("n_tokens"),
+        (sum_len / F.size(ws).cast("double")).alias("mwl"),
+    )
+    g = q_.filter(
+        (F.col("n_tokens") >= 20)
+        & F.col("mwl").between(2.0, 12.0)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    ).withColumn("sig", F.md5(F.substring("text", 1, 40)))
+    w = Window.partitionBy("sig").orderBy("doc_id")
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "sig", "n_tokens")
     )
 
 

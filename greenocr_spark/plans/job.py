@@ -101,13 +101,14 @@ def run_extract_job(
             hot_salted_part_id,
         )
 
-        # hot-host list lives next to the manifest (same FS as the data, via
-        # Spark, so s3a/hdfs out_dirs work) and is REUSED on resume
+        # hot-host map (host -> salt count) lives next to the manifest (same
+        # FS as the data, via Spark, so s3a/hdfs out_dirs work) and is
+        # REUSED on resume
         hot_dir = os.path.join(out_dir, "hot_hosts")
         hot = None
         if resume:
             try:
-                hot = [r["h"] for r in spark.read.parquet(hot_dir).collect()]
+                hot = {r["h"]: r["s"] for r in spark.read.parquet(hot_dir).collect()}
             except Exception:
                 hot = None  # first run: derive and persist below
         if hot is not None:
@@ -116,9 +117,9 @@ def run_extract_job(
             )
         else:
             pages, hot = adaptive_salted_part_id(pages, "url", n_parts, n_salts)
-            spark.createDataFrame([(h,) for h in hot], "h string").coalesce(
-                1
-            ).write.mode("overwrite").parquet(hot_dir)
+            spark.createDataFrame(
+                [(h, int(s)) for h, s in hot.items()], "h string, s int"
+            ).coalesce(1).write.mode("overwrite").parquet(hot_dir)
         if resume:
             manifest = read_manifest(spark, out_dir)
             if manifest is not None:

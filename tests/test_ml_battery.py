@@ -86,6 +86,28 @@ def test_dd7_recall_vs_bruteforce(spark):
         assert len(lsh80) / len(brute) >= 0.2  # LSH recall floor (8-bit, 1 table)
 
 
+def test_connected_components_adversarial_graphs(spark):
+    """dd8's CC kernel on shapes the LSH-band data never produces: a long
+    path (worst case for plain label propagation — pointer jumping must
+    still converge inside max_iter), two disjoint components, and a cycle."""
+    from greenocr_spark.battery_ml import _connected_components
+
+    # path 0-1-2-...-9, cycle 20-21-22-20, pair 30-31
+    edges = (
+        [(i, i + 1) for i in range(9)]
+        + [(20, 21), (21, 22), (20, 22)]
+        + [(30, 31)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _connected_components(pairs, max_iter=6).collect()
+    }
+    want = {i: 0 for i in range(10)}
+    want.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30})
+    assert got == want
+
+
 def test_adaptive_salting_bounds_task_skew(spark, tmp_path):
     """The straggler bound behind BENCH/run_soak.py's task med/max column:
     on the Zipf fixture corpus (one host ~30% of rows) the adaptive-salted
@@ -104,7 +126,10 @@ def test_adaptive_salting_bounds_task_skew(spark, tmp_path):
     keyed, hot = adaptive_salted_part_id(pages, "url", n_parts=32, n_salts=8)
     counts = sorted(r["count"] for r in keyed.groupBy("part_id").count().collect())
     ratio = counts[-1] / statistics.median(counts)
-    assert hot == ["big.example.com"]
+    # budget-proportional: the 30% host gets ~count/budget salts, roughly
+    # one partition-budget of rows per salt
+    assert "big.example.com" in hot
+    assert hot["big.example.com"] >= 6
     assert counts[-1] < 0.30 * 1000  # the hot host's 30% never lands on one task
     assert ratio <= 4.0
 
@@ -127,7 +152,7 @@ def test_adaptive_salting_single_input_scan(spark):
     ]
     df = spark.createDataFrame(rows, "url string")
     keyed, hot = adaptive_salted_part_id(df, "url", n_parts=32, n_salts=8)
-    assert hot == ["hot.example.com"]
+    assert list(hot) == ["hot.example.com"]
     # hot host spreads over >1 partition, every cold host stays on exactly 1
     parts = (
         keyed.withColumn("h", host_expr("url"))
