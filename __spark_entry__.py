@@ -76,6 +76,7 @@ _ROUND2_PRIORITY = [
     "st3_stream_extract",
     "st4_stream_dedup",
     "st5_session_window",
+    "st6_stream_static_join",
 ]
 
 

@@ -1275,6 +1275,50 @@ def st1_stream_hourly(spark, sf_dir):
     return spark.table(name)
 
 
+@q(
+    "st6_stream_static_join",
+    """SELECT c.c_mktsegment AS segment, count(*) AS n,
+              round(sum(e.value), 4) AS total_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1""",
+)
+def st6_stream_static_join(spark, sf_dir):
+    # §2.10 stream-static join: the streaming side (events file source)
+    # enriches against a STATIC dimension (customer) — Spark broadcasts the
+    # static side into every micro-batch, no stream-stream state. This is
+    # the standard streaming-enrichment shape (Kafka events × dimension
+    # table) and at 10^12 scale the static side stays a broadcast as long
+    # as the dim fits executor memory.
+    import hashlib as _hashlib
+    import uuid as _uuid
+
+    schema = t(spark, sf_dir, "events").schema
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = f"/tmp/greenocr_stream_events_{key}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    name = f"st6_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    qh = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    return spark.table(name)
+
+
 @q("ex3_extract_pdf_branch", None)  # binary PDF layout parse — not SQL
 def ex3_extract_pdf_branch(spark, sf_dir):
     # The PDF router branch in isolation: fixture rows whose payload carries

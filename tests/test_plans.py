@@ -73,6 +73,22 @@ def test_window_single_shuffle(spark):
     assert p.count("+- Exchange") <= 2  # window exchange + final agg exchange
 
 
+def test_curation_single_shuffle(spark):
+    # pipe1: tokenize + quality gates + lang filter are one narrow pass;
+    # the only exchange is the dedup-signature window partitioning
+    p = plan_of(_q(spark, "pipe1_curation"))
+    assert p.count("+- Exchange") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_dup_clusters_no_cartesian(spark):
+    # dd8: every CC round is a key-partitioned equi-join — never a
+    # nested-loop/cartesian pair join at any iteration
+    p = plan_of(_q(spark, "dd8_dup_clusters"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_topk_no_global_sort(spark):
     # o1: global top-k must be TakeOrderedAndProject, not Sort+Limit
     p = plan_of(_q(spark, "o1_topk_orders"))
