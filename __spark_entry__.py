@@ -61,6 +61,7 @@ _ROUND2_PRIORITY = [
     "tx5_rolling_hash",
     "tx6_punct_ratio",
     "pipe1_curation",
+    "samp1_stratified_sample",
     "arr1_array_ops",
     "arr2_set_ops",
     "w9_sessionize",

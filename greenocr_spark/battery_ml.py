@@ -1021,6 +1021,39 @@ def pipe1_curation(spark, sf_dir):
     )
 
 
+_SAMP_RATES = {"en": 10, "de": 25, "fr": 25, "es": 25, "zh": 50}  # percent
+
+
+@q(
+    "samp1_stratified_sample",
+    f"""SELECT doc_id, lang
+       FROM documents
+       WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+             < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _SAMP_RATES.items())}
+               ELSE 0 END""",
+)
+def samp1_stratified_sample(spark, sf_dir):
+    # Deterministic stratified sampling — the reproducible form of
+    # df.sampleBy for training-data curation (down-sample over-represented
+    # languages, keep rare ones). The acceptance test is a pure hash of the
+    # row key (md5 16-bit prefix mod 100 vs a per-stratum rate), so the
+    # sample is stable across runs/partitionings/engines — which is what a
+    # rebuildable 10^12-row pipeline needs, and why it can be value-checked
+    # exactly against SQL while rand()-based sampleBy cannot. Narrow
+    # operation: predicate only, no shuffle.
+    rate = F.create_map(
+        *[x for k, v in _SAMP_RATES.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("lang")]
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(bucket < F.coalesce(rate, F.lit(0)))
+        .select("doc_id", "lang")
+    )
+
+
 @q(
     "arr2_set_ops",
     f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents
