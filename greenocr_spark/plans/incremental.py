@@ -1,0 +1,160 @@
+"""Incremental re-extraction (recrawl refresh) — extract only what changed.
+
+Between crawl snapshots of a 10^12-row pages table, almost every url is
+unchanged; re-running the full extraction job wastes the cluster. This job
+keeps a lightweight url index (url, content signature, part_id — ~1% of
+the page bytes) next to the output and, given the CURRENT snapshot:
+
+  1. diffs it against the index: new urls, changed content (md5 of html),
+     deleted urls;
+  2. re-extracts ONLY the new/changed rows (the expensive stage runs on
+     the delta, not the corpus);
+  3. stitches affected partitions: freshly extracted rows ∪ previously
+     extracted rows of untouched urls in those partitions, written with
+     dynamic partition overwrite — untouched partitions' files are never
+     rewritten, deleted urls drop out of their rewritten partitions;
+  4. rewrites the url index for next time.
+
+This is the plain-Spark expression of an Iceberg MERGE INTO keyed on url:
+the same delta-join shape, with partition-overwrite standing in for
+row-level commit. The first refresh (no index yet) degrades to the full
+job semantics.
+
+Scale notes: the diff join shuffles (current ∪ index) on url once; the
+stitch reads back only affected partitions (partition-pruned scan on
+part_id); the affected-partition list is ≤ n_parts values collected to the
+driver. Nothing else touches the full corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from greenocr_spark.functions.sqlfns import salted_part_id
+from greenocr_spark.operators.extract import extract_pages
+
+
+def _index_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "url_index")
+
+
+def _extracted_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "extracted")
+
+
+def refresh_extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_parts: int = 64,
+    n_salts: int = 8,
+) -> dict:
+    """Refresh the extracted table to match the given pages snapshot.
+    Returns stats {n_pages, n_new_or_changed, n_deleted, n_parts_rewritten,
+    n_kept}.
+
+    url is the table key (input_hint: per-url byte identity) — the snapshot
+    must not repeat it; with duplicate urls the per-url diff is undefined."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cur = pages.withColumn(
+        "part_id", salted_part_id(F.col("url"), n_parts, n_salts)
+    ).withColumn("sig", F.coalesce(F.md5("html"), F.lit("")))
+
+    try:
+        index = spark.read.parquet(_index_dir(out_dir))
+    except Exception:
+        index = None
+
+    if index is None:
+        changed = cur
+        deleted = cur.limit(0).select("url", "part_id")
+    else:
+        old = index.select("url", F.col("sig").alias("old_sig"))
+        joined = cur.join(old, "url", "left")
+        changed = joined.filter(
+            F.col("old_sig").isNull() | (F.col("old_sig") != F.col("sig"))
+        ).drop("old_sig")
+        deleted = index.join(cur.select("url"), "url", "left_anti").select(
+            "url", "part_id"
+        )
+
+    changed = changed.persist()
+    keep = None
+    try:
+        n_changed = changed.count()
+        affected = {
+            r["part_id"]
+            for r in changed.select("part_id")
+            .union(deleted.select("part_id"))
+            .distinct()
+            .collect()
+        }
+        n_deleted = deleted.count()
+        n_kept = 0
+
+        if affected:
+            new_rows = extract_pages(
+                changed.select("url", "html", "part_id"), passthrough=("part_id",)
+            )
+            parts_with_rows = {r["part_id"] for r in changed.select("part_id").distinct().collect()}
+            if index is None:
+                out_rows = new_rows
+            else:
+                prev = spark.read.parquet(_extracted_dir(out_dir)).filter(
+                    F.col("part_id").isin(list(affected))
+                )
+                # untouched urls co-located in affected partitions keep
+                # their previously extracted rows — no re-extraction
+                touched_urls = changed.select("url").union(deleted.select("url"))
+                keep = prev.join(touched_urls, "url", "left_anti").persist()
+                n_kept = keep.count()
+                parts_with_rows |= {
+                    r["part_id"] for r in keep.select("part_id").distinct().collect()
+                }
+                out_rows = new_rows.unionByName(keep)
+            (
+                out_rows.repartition(len(affected), "part_id")
+                .sortWithinPartitions("url")
+                .write.mode("overwrite")
+                .partitionBy("part_id")
+                .parquet(_extracted_dir(out_dir))
+            )
+            # a partition whose urls were ALL deleted contributes no rows, so
+            # dynamic overwrite never touches it — clear its files explicitly.
+            # (Iceberg's overwritePartitions has the same blind spot; there
+            # the fix is a DELETE WHERE part_id = p commit.)
+            import shutil
+
+            for p in affected - parts_with_rows:
+                shutil.rmtree(
+                    os.path.join(_extracted_dir(out_dir), f"part_id={p}"),
+                    ignore_errors=True,
+                )
+
+        # rewrite the index to mirror the current snapshot exactly
+        (
+            cur.select("url", "sig", "part_id")
+            .write.mode("overwrite")
+            .parquet(_index_dir(out_dir) + "_next")
+        )
+        # two-step swap keeps the old index readable until the new one is
+        # fully committed (a crash mid-rewrite must not orphan the state)
+        import shutil
+
+        shutil.rmtree(_index_dir(out_dir), ignore_errors=True)
+        os.rename(_index_dir(out_dir) + "_next", _index_dir(out_dir))
+
+        return {
+            "n_pages": cur.count(),
+            "n_new_or_changed": n_changed,
+            "n_deleted": n_deleted,
+            "n_parts_rewritten": len(affected),
+            "n_kept": n_kept,
+        }
+    finally:
+        changed.unpersist()
+        if keep is not None:
+            keep.unpersist()
