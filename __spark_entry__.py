@@ -78,6 +78,7 @@ _ROUND2_PRIORITY = [
     "st4_stream_dedup",
     "st5_session_window",
     "st6_stream_static_join",
+    "st7_stream_stream_join",
 ]
 
 

@@ -1435,6 +1435,72 @@ def st4_stream_dedup(spark, sf_dir):
 
 
 @q(
+    "st7_stream_stream_join",
+    """SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND a.event_type = 'view' AND b.event_type = 'click'
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR""",
+)
+def st7_stream_stream_join(spark, sf_dir):
+    # §2.10 stream-stream JOIN — the hardest streaming op: both sides are
+    # unbounded, so Spark buffers each in watermark-bounded state and the
+    # time-range predicate (click within 6h after view) bounds how long a
+    # view row must be retained. availableNow drains the finite source, so
+    # the emitted pairs equal the batch self-join oracle. At 10^12 scale
+    # state size = rows inside the watermark horizon per key — bounded by
+    # construction, the reason stream-stream joins REQUIRE the time bound.
+    import hashlib as _hashlib
+    import uuid as _uuid
+
+    schema = t(spark, sf_dir, "events").schema
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = f"/tmp/greenocr_stream_events_{key}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+
+    def side(kind, alias):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stream_dir)
+            .filter(F.col("event_type") == kind)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            # generous watermark: state retention only — a drained finite
+            # source must not drop any in-horizon match
+            .withWatermark("ts", "30 days")
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    views, clicks = side("view", "view"), side("click", "click")
+    joined = views.join(
+        clicks,
+        (F.col("view_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")),
+    ).select(
+        F.col("view_id").alias("view_id"),
+        F.col("click_id").alias("click_id"),
+        F.col("view_user").alias("user_id"),
+    )
+    name = f"st7_{_uuid.uuid4().hex[:8]}"
+    qh = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    return spark.table(name)
+
+
+@q(
     "st5_session_window",
     """WITH g AS (
         SELECT user_id, ts,
