@@ -89,9 +89,10 @@ def extract_pages(
             for i, raw in enumerate(pdf["html"].tolist()):
                 r = extract_document(raw, cfg)
                 out["text"][i] = r["text"]
-                out["spans"][i] = [
-                    {"block_idx": b, "start": s, "end": e, "cls": c} for b, s, e, c in r["spans"]
-                ]
+                # core emits spans as (block_idx, start, end, cls) tuples;
+                # Arrow accepts tuples positionally for struct arrays, so
+                # they pass through with zero per-span re-boxing
+                out["spans"][i] = r["spans"]
                 out["n_blocks"][i] = r["n_blocks"]
                 out["n_content"][i] = r["n_content"]
                 out["n_boilerplate"][i] = r["n_boilerplate"]
