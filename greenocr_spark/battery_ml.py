@@ -1555,7 +1555,23 @@ def st5_session_window(spark, sf_dir):
     return spark.table(name)
 
 
-@q("mm2_frame_sample", None)  # stub decode feature vectors — not SQL
+@q(
+    "mm2_frame_sample",
+    """WITH s AS (SELECT doc_id, text,
+                         greatest(length(text) // 4, 1) AS step
+                  FROM documents),
+    f AS (SELECT doc_id, text, step, unnest([0, 1, 2, 3]) AS frame_idx FROM s),
+    c AS (SELECT doc_id, frame_idx,
+                 substring(text, frame_idx * step + 1, 8) AS chunk
+          FROM f)
+    SELECT doc_id, frame_idx,
+           CASE WHEN length(chunk) = 0 THEN [CAST(0.0 AS REAL)]
+                ELSE list_transform(range(1, length(chunk) + 1),
+                       i -> CAST(ascii(substring(chunk, i, 1)) / 255.0 AS REAL))
+           END AS feature,
+           'stub-decode' AS note
+    FROM c""",
+)
 def mm2_frame_sample(spark, sf_dir):
     # Multimodal one-to-many: video-style frame sampling over opaque binary
     # payloads (mapInPandas, array<float> features). Decode is a deterministic
