@@ -51,6 +51,7 @@ _ROUND2_PRIORITY = [
     "dd6_embedding_neardup",
     "dd7_lsh_neardup",
     "dd8_dup_clusters",
+    "dd9_editdist_verify",
     "ann1_cosine_topk",
     "ann2_lsh_buckets",
     "ann3_ivf_topk",

@@ -244,6 +244,44 @@ def dd8_dup_clusters(spark, sf_dir):
     return _connected_components(dd3_minhash_band_pairs(spark, sf_dir))
 
 
+@q(
+    "dd9_editdist_verify",
+    f"""WITH sig AS ({_MINHASH_ORACLE_SIG}),
+    bands AS (
+        SELECT doc_id, i AS band, {_band_case_sql()} AS bkey
+        FROM sig, unnest([{", ".join(str(b) for b in range(_N_BANDS))}]) AS u(i)),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                       AND a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(substring(da.text, 1, 200), substring(db.text, 1, 200))
+               AS editdist
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b""",
+)
+def dd9_editdist_verify(spark, sf_dir):
+    # Candidate VERIFICATION: LSH gives probabilistic candidates (dd3);
+    # a real dedup pipeline verifies them with an exact similarity before
+    # dropping documents. Edit distance over a bounded prefix (200 chars —
+    # levenshtein is O(n²), the cap is what makes verification affordable;
+    # near-dups disagree within the first 200 bytes or they're the same
+    # page) joined back to the texts: two broadcast-able joins of the tiny
+    # pair list against the corpus, cost ∝ candidates, never ∝ corpus².
+    d = t(spark, sf_dir, "documents").select("doc_id", F.substring("text", 1, 200).alias("t"))
+    pairs = dd3_minhash_band_pairs(spark, sf_dir)
+    da, db = d.alias("da"), d.alias("db")
+    return (
+        pairs.join(da, F.col("da.doc_id") == F.col("doc_a"))
+        .join(db, F.col("db.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("da.t"), F.col("db.t")).alias("editdist"),
+        )
+    )
+
+
 _DD4_MAX_DF = 0.5  # drop tokens present in more than this fraction of docs
 
 

@@ -24,6 +24,13 @@ Scale notes: the diff join shuffles (current ∪ index) on url once; the
 stitch reads back only affected partitions (partition-pruned scan on
 part_id); the affected-partition list is ≤ n_parts values collected to the
 driver. Nothing else touches the full corpus.
+
+Sandbox caveat: the index swap (os.rename) and empty-partition cleanup
+(shutil.rmtree) assume a posix-visible out_dir — the parquet-directory
+fallback this container runs on. On a real deployment both are Iceberg
+commits (REPLACE TABLE for the index, DELETE WHERE part_id = p for the
+emptied partitions) and the data writes above already go through the
+same dynamic-overwrite discipline Iceberg's overwritePartitions provides.
 """
 
 from __future__ import annotations
