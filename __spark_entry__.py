@@ -66,6 +66,7 @@ _ROUND2_PRIORITY = [
     "arr1_array_ops",
     "arr2_set_ops",
     "w9_sessionize",
+    "w10_range_frame",
     "a14_cube",
     "f13_pad_tokens",
     "p9_rlike_filter",

@@ -784,6 +784,40 @@ def w9_sessionize(spark, sf_dir):
 
 
 @q(
+    "w10_range_frame",
+    """SELECT event_id, user_id,
+              count(*) OVER w AS n_trailing_1h,
+              round(sum(value) OVER w, 4) AS sum_trailing_1h
+       FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+       WINDOW w AS (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+)
+def w10_range_frame(spark, sf_dir):
+    # VALUE-based window frame (RANGE, not ROWS): trailing 1-hour count/sum
+    # per user — the time-windowed running aggregate rows-frames cannot
+    # express (peers at unequal spacing). Ordered by epoch micros so the
+    # frame bound is an exact interval on both engines. Same single shuffle
+    # on user_id as any window; the frame only changes the in-partition
+    # scan, so the plan is scale-identical to w3/w9.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("us", us)
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_trailing_1h"),
+            F.round(F.sum("value").over(w), 4).alias("sum_trailing_1h"),
+        )
+    )
+
+
+@q(
     "a14_cube",
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
               CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
