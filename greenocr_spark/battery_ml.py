@@ -1331,6 +1331,21 @@ def _fixture_pages_path(n: int) -> str:
 # =========================================================================
 
 
+def _stream_events_dir(sf_dir: str) -> str:
+    """Staging dir for the file streaming source (it requires a directory):
+    expose the single events parquet through a symlinked dir keyed on
+    sf_dir (read-only testdata untouched). Shared by every st* query."""
+    import hashlib as _hashlib
+
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = f"/tmp/greenocr_stream_events_{key}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    return stream_dir
+
+
 @q(
     "st1_stream_hourly",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -1342,19 +1357,11 @@ def st1_stream_hourly(spark, sf_dir):
     # same events data, watermarked tumbling window, availableNow trigger,
     # memory sink. Same results as the batch oracle because availableNow
     # drains everything.
-    import hashlib as _hashlib
     import uuid as _uuid
 
     schema = t(spark, sf_dir, "events").schema
     name = f"st1_{_uuid.uuid4().hex[:8]}"
-    # the file streaming source requires a directory: expose the single
-    # parquet file through a symlinked dir (read-only testdata untouched)
-    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = f"/tmp/greenocr_stream_events_{key}"
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream_dir = _stream_events_dir(sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
@@ -1394,16 +1401,10 @@ def st6_stream_static_join(spark, sf_dir):
     # the standard streaming-enrichment shape (Kafka events × dimension
     # table) and at 10^12 scale the static side stays a broadcast as long
     # as the dim fits executor memory.
-    import hashlib as _hashlib
     import uuid as _uuid
 
     schema = t(spark, sf_dir, "events").schema
-    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = f"/tmp/greenocr_stream_events_{key}"
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream_dir = _stream_events_dir(sf_dir)
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     name = f"st6_{_uuid.uuid4().hex[:8]}"
     stream = (
@@ -1473,16 +1474,10 @@ def st4_stream_dedup(spark, sf_dir):
     # (user_id, event_type, ts) with event-time state expiry, then a
     # per-key count. availableNow drains one batch, so the result equals
     # the batch DISTINCT (events has no exact dupes; identity holds).
-    import hashlib as _hashlib
     import uuid as _uuid
 
     schema = t(spark, sf_dir, "events").schema
-    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = f"/tmp/greenocr_stream_events_{key}"
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream_dir = _stream_events_dir(sf_dir)
     name = f"st4_{_uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(schema)
@@ -1522,16 +1517,10 @@ def st7_stream_stream_join(spark, sf_dir):
     # the emitted pairs equal the batch self-join oracle. At 10^12 scale
     # state size = rows inside the watermark horizon per key — bounded by
     # construction, the reason stream-stream joins REQUIRE the time bound.
-    import hashlib as _hashlib
     import uuid as _uuid
 
     schema = t(spark, sf_dir, "events").schema
-    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = f"/tmp/greenocr_stream_events_{key}"
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream_dir = _stream_events_dir(sf_dir)
 
     def side(kind, alias):
         return (
@@ -1593,16 +1582,10 @@ def st5_session_window(spark, sf_dir):
     # Oracle is the equivalent batch sessionization (w9 logic): with
     # microsecond timestamps an exactly-at-gap boundary never occurs, so
     # strict-vs-inclusive boundary semantics coincide.
-    import hashlib as _hashlib
     import uuid as _uuid
 
     schema = t(spark, sf_dir, "events").schema
-    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = f"/tmp/greenocr_stream_events_{key}"
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream_dir = _stream_events_dir(sf_dir)
     name = f"st5_{_uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(schema)
@@ -1629,17 +1612,19 @@ def st5_session_window(spark, sf_dir):
 
 @q(
     "mm2_frame_sample",
-    """WITH s AS (SELECT doc_id, text,
-                         greatest(length(text) // 4, 1) AS step
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                         octet_length(encode(text)) AS L
                   FROM documents),
-    f AS (SELECT doc_id, text, step, unnest([0, 1, 2, 3]) AS frame_idx FROM s),
-    c AS (SELECT doc_id, frame_idx,
-                 substring(text, frame_idx * step + 1, 8) AS chunk
+    s AS (SELECT doc_id, hx, L, greatest(L // 4, 1) AS step FROM h),
+    f AS (SELECT doc_id, hx, L, step, unnest([0, 1, 2, 3]) AS frame_idx FROM s),
+    c AS (SELECT doc_id, frame_idx, hx, frame_idx * step AS off,
+                 least(greatest(L - frame_idx * step, 0), 8) AS clen
           FROM f)
     SELECT doc_id, frame_idx,
-           CASE WHEN length(chunk) = 0 THEN [CAST(0.0 AS REAL)]
-                ELSE list_transform(range(1, length(chunk) + 1),
-                       i -> CAST(ascii(substring(chunk, i, 1)) / 255.0 AS REAL))
+           CASE WHEN clen = 0 THEN [CAST(0.0 AS REAL)]
+                ELSE list_transform(range(1, clen + 1),
+                       i -> CAST(CAST(('0x' || substr(hx, (off + i - 1) * 2 + 1, 2))
+                                      AS INTEGER) / 255.0 AS REAL))
            END AS feature,
            'stub-decode' AS note
     FROM c""",
@@ -1667,7 +1652,6 @@ def st2_stateful_per_user(spark, sf_dir):
     # arbitrary-stateful-operator surface. availableNow drains the source,
     # so the final state equals the batch oracle (count/max are
     # order-insensitive, safe to value-check).
-    import hashlib as _hashlib
     import uuid as _uuid
 
     import pandas as _pd
@@ -1680,12 +1664,7 @@ def st2_stateful_per_user(spark, sf_dir):
     )
 
     schema = t(spark, sf_dir, "events").schema
-    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = f"/tmp/greenocr_stream_events_{key}"
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream_dir = _stream_events_dir(sf_dir)
 
     out_schema = StructType(
         [

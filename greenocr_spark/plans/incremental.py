@@ -10,46 +10,94 @@ the page bytes) next to the output and, given the CURRENT snapshot:
   2. re-extracts ONLY the new/changed rows (the expensive stage runs on
      the delta, not the corpus);
   3. stitches affected partitions: freshly extracted rows ∪ previously
-     extracted rows of untouched urls in those partitions, written with
-     dynamic partition overwrite — untouched partitions' files are never
-     rewritten, deleted urls drop out of their rewritten partitions;
-  4. rewrites the url index for next time.
+     extracted rows of untouched urls in those partitions. The stitched
+     rows are STAGED to a scratch directory first and the final
+     dynamic-partition overwrite reads from the staging copy — a job that
+     reads the directory it is overwriting would otherwise depend on
+     cached blocks surviving the write (an executor loss mid-commit
+     recomputes `keep` from half-replaced partition files);
+  4. commits the rebuilt url index via a versioned directory plus an
+     atomically-replaced pointer file, so a crash at any instant leaves a
+     complete, readable index (never a half-deleted one).
 
 This is the plain-Spark expression of an Iceberg MERGE INTO keyed on url:
-the same delta-join shape, with partition-overwrite standing in for
+the same delta-join shape, with staged partition-overwrite standing in for
 row-level commit. The first refresh (no index yet) degrades to the full
-job semantics.
+job semantics — and if extracted data exists without an index (e.g. the
+index was lost), every existing partition is treated as affected so stale
+urls are purged rather than becoming permanent phantoms.
 
 Scale notes: the diff join shuffles (current ∪ index) on url once; the
 stitch reads back only affected partitions (partition-pruned scan on
 part_id); the affected-partition list is ≤ n_parts values collected to the
-driver. Nothing else touches the full corpus.
+driver. Nothing else touches the full corpus (`n_pages` in the stats comes
+from the index parquet's row-count metadata, not a second scan).
 
-Sandbox caveat: the index swap (os.rename) and empty-partition cleanup
-(shutil.rmtree) assume a posix-visible out_dir — the parquet-directory
-fallback this container runs on. On a real deployment both are Iceberg
-commits (REPLACE TABLE for the index, DELETE WHERE part_id = p for the
-emptied partitions) and the data writes above already go through the
-same dynamic-overwrite discipline Iceberg's overwritePartitions provides.
+Sandbox caveat: the pointer file and staging moves use posix-visible
+paths — the parquet-directory fallback this container runs on. On a real
+deployment both are Iceberg commits (REPLACE TABLE for the index,
+row-level MERGE/DELETE for the data) with the same delta-join plan.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from greenocr_spark.functions.sqlfns import salted_part_id
 from greenocr_spark.operators.extract import extract_pages
+from greenocr_spark.plans.job import _extracted_dir
+
+_INDEX_POINTER = "INDEX_CURRENT"
 
 
-def _index_dir(out_dir: str) -> str:
+def _index_root(out_dir: str) -> str:
     return os.path.join(out_dir, "url_index")
 
 
-def _extracted_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "extracted")
+def _read_index(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Resolve the pointer file to the current committed index version."""
+    root = _index_root(out_dir)
+    ptr = os.path.join(root, _INDEX_POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(root, version))
+
+
+def _commit_index(out_dir: str, version: str) -> None:
+    """Atomically repoint the index to `version` (os.replace of a one-line
+    file is atomic on posix) and best-effort clean older versions."""
+    root = _index_root(out_dir)
+    ptr = os.path.join(root, _INDEX_POINTER)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, ptr)
+    for entry in os.listdir(root):
+        if entry.startswith("v_") and entry != version:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
+
+def _existing_part_ids(out_dir: str) -> set:
+    """Partition ids already present in the extracted table (directory
+    listing of the hive-style layout)."""
+    ext = _extracted_dir(out_dir)
+    if not os.path.isdir(ext):
+        return set()
+    out = set()
+    for entry in os.listdir(ext):
+        if entry.startswith("part_id="):
+            try:
+                out.add(int(entry.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
 
 
 def refresh_extract(
@@ -70,10 +118,7 @@ def refresh_extract(
         "part_id", salted_part_id(F.col("url"), n_parts, n_salts)
     ).withColumn("sig", F.coalesce(F.md5("html"), F.lit("")))
 
-    try:
-        index = spark.read.parquet(_index_dir(out_dir))
-    except Exception:
-        index = None
+    index = _read_index(spark, out_dir)
 
     if index is None:
         changed = cur
@@ -90,15 +135,21 @@ def refresh_extract(
 
     changed = changed.persist()
     keep = None
+    staging = os.path.join(out_dir, f"_staging_refresh_{uuid.uuid4().hex[:8]}")
     try:
         n_changed = changed.count()
-        affected = {
-            r["part_id"]
-            for r in changed.select("part_id")
-            .union(deleted.select("part_id"))
-            .distinct()
-            .collect()
+        changed_parts = {
+            r["part_id"] for r in changed.select("part_id").distinct().collect()
         }
+        deleted_parts = {
+            r["part_id"] for r in deleted.select("part_id").distinct().collect()
+        }
+        affected = changed_parts | deleted_parts
+        if index is None:
+            # extracted data without an index (lost/never committed): every
+            # existing partition is suspect — include them all so urls no
+            # longer in any snapshot are purged, not fossilized
+            affected |= _existing_part_ids(out_dir)
         n_deleted = deleted.count()
         n_kept = 0
 
@@ -106,10 +157,8 @@ def refresh_extract(
             new_rows = extract_pages(
                 changed.select("url", "html", "part_id"), passthrough=("part_id",)
             )
-            parts_with_rows = {r["part_id"] for r in changed.select("part_id").distinct().collect()}
-            if index is None:
-                out_rows = new_rows
-            else:
+            parts_with_rows = set(changed_parts)
+            if index is not None:
                 prev = spark.read.parquet(_extracted_dir(out_dir)).filter(
                     F.col("part_id").isin(list(affected))
                 )
@@ -122,9 +171,19 @@ def refresh_extract(
                     r["part_id"] for r in keep.select("part_id").distinct().collect()
                 }
                 out_rows = new_rows.unionByName(keep)
+            else:
+                out_rows = new_rows
+
+            # stage → read staging → overwrite: the final write never reads
+            # from the directory it replaces
             (
-                out_rows.repartition(len(affected), "part_id")
+                out_rows.repartition(max(len(affected), 1), "part_id")
                 .sortWithinPartitions("url")
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            (
+                spark.read.parquet(staging)
                 .write.mode("overwrite")
                 .partitionBy("part_id")
                 .parquet(_extracted_dir(out_dir))
@@ -133,29 +192,26 @@ def refresh_extract(
             # dynamic overwrite never touches it — clear its files explicitly.
             # (Iceberg's overwritePartitions has the same blind spot; there
             # the fix is a DELETE WHERE part_id = p commit.)
-            import shutil
-
             for p in affected - parts_with_rows:
                 shutil.rmtree(
                     os.path.join(_extracted_dir(out_dir), f"part_id={p}"),
                     ignore_errors=True,
                 )
 
-        # rewrite the index to mirror the current snapshot exactly
-        (
-            cur.select("url", "sig", "part_id")
-            .write.mode("overwrite")
-            .parquet(_index_dir(out_dir) + "_next")
+        # rebuild the index to mirror the current snapshot exactly, then
+        # commit by atomic pointer replace (crash-safe at every instant)
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        idx_df = cur.select("url", "sig", "part_id")
+        idx_df.write.mode("overwrite").parquet(
+            os.path.join(_index_root(out_dir), version)
         )
-        # two-step swap keeps the old index readable until the new one is
-        # fully committed (a crash mid-rewrite must not orphan the state)
-        import shutil
-
-        shutil.rmtree(_index_dir(out_dir), ignore_errors=True)
-        os.rename(_index_dir(out_dir) + "_next", _index_dir(out_dir))
+        _commit_index(out_dir, version)
+        n_pages = spark.read.parquet(
+            os.path.join(_index_root(out_dir), version)
+        ).count()  # parquet metadata count — no rescan of the snapshot
 
         return {
-            "n_pages": cur.count(),
+            "n_pages": n_pages,
             "n_new_or_changed": n_changed,
             "n_deleted": n_deleted,
             "n_parts_rewritten": len(affected),
@@ -165,3 +221,4 @@ def refresh_extract(
         changed.unpersist()
         if keep is not None:
             keep.unpersist()
+        shutil.rmtree(staging, ignore_errors=True)

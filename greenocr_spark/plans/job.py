@@ -24,6 +24,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from greenocr_spark.functions.sqlfns import salted_part_id
 from greenocr_spark.operators.extract import extract_pages, extract_schema
@@ -49,11 +50,17 @@ def _manifest_dir(out_dir: str) -> str:
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """None ONLY when the manifest doesn't exist yet (first run). Any other
+    failure propagates: treating a transient FS error as 'first run' would
+    silently restart the whole job (and, for adaptive salting, re-derive a
+    different hot map — breaking part_id stability)."""
     path = _manifest_dir(out_dir)
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def pending_pages(
@@ -109,8 +116,14 @@ def run_extract_job(
         if resume:
             try:
                 hot = {r["h"]: r["s"] for r in spark.read.parquet(hot_dir).collect()}
-            except Exception:
-                hot = None  # first run: derive and persist below
+            except AnalysisException as e:
+                # ONLY a missing path means first run; a transient read
+                # failure must propagate, not silently re-derive a different
+                # hot map (which would shift part_ids under the manifest)
+                if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                    hot = None
+                else:
+                    raise
         if hot is not None:
             pages = pages.withColumn(
                 "part_id", hot_salted_part_id("url", hot, n_parts, n_salts)

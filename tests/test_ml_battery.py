@@ -86,6 +86,36 @@ def test_dd7_recall_vs_bruteforce(spark):
         assert len(lsh80) / len(brute) >= 0.2  # LSH recall floor (8-bit, 1 table)
 
 
+def test_mm2_oracle_byte_exact_on_non_ascii(spark, tmp_path):
+    """The frame-sample oracle must mirror BYTE semantics (frame step from
+    UTF-8 byte length, one feature per byte), not character semantics —
+    the sf corpora are all-ASCII, which would mask a codepoint-based
+    oracle. Probe with multi-byte text."""
+    import duckdb
+
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = [(0, "café au lait — döner & smörgåsbord"), (1, "näïve £42 €9"), (2, "plain ascii text here")]
+    pdir = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(pdir)
+    sf_dir = str(tmp_path)
+
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], tuple(r["feature"]))
+        for r in b.REGISTRY["mm2_frame_sample"][0](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pdir}/*.parquet')")
+    want = sorted(
+        (d, f, tuple(feat))
+        for d, f, feat, _ in con.execute(b.REGISTRY["mm2_frame_sample"][1]).fetchall()
+    )
+    assert got == want
+
+
 def test_connected_components_adversarial_graphs(spark):
     """dd8's CC kernel on shapes the LSH-band data never produces: a long
     path (worst case for plain label propagation — pointer jumping must
