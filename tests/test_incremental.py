@@ -119,6 +119,35 @@ def test_incremental_delete_empties_partition(spark, tmp_path):
     assert got_urls == {r["url"] for r in rows2}
 
 
+def test_incremental_index_loss_recovery(spark, tmp_path):
+    """If the url index is lost (crash before the pointer commit, manual
+    deletion), the next refresh must fall back to full extraction AND purge
+    urls that are no longer in any snapshot — they must not become
+    permanent phantom rows just because the diff state vanished."""
+    import shutil
+
+    out = str(tmp_path / "out4")
+    rows1 = make_pages(80)
+    p1 = str(tmp_path / "s1.parquet")
+    _write_rows(p1, rows1)
+    refresh_extract(spark, spark.read.parquet(p1), out, n_parts=N_PARTS)
+
+    shutil.rmtree(f"{out}/url_index")  # simulate index loss
+
+    rows2 = rows1[20:]  # 20 urls disappear from the snapshot
+    p2 = str(tmp_path / "s2.parquet")
+    _write_rows(p2, rows2)
+    snap2 = spark.read.parquet(p2)
+    stats = refresh_extract(spark, snap2, out, n_parts=N_PARTS)
+
+    assert stats["n_new_or_changed"] == len(rows2)  # full re-extract
+    got_urls = {r["url"] for r in spark.read.parquet(f"{out}/extracted").collect()}
+    assert got_urls == {r["url"] for r in rows2}  # phantoms purged
+    # and the index is back: the next refresh is incremental again
+    stats2 = refresh_extract(spark, snap2, out, n_parts=N_PARTS)
+    assert stats2["n_new_or_changed"] == 0
+
+
 def test_incremental_noop_refresh(spark, snapshots, tmp_path):
     d, _, _ = snapshots
     out = str(tmp_path / "out2")
