@@ -39,48 +39,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass checks roughly the first 50 queries() entries
-# per round.  Round 1 checked registry order [0..49]; this priority list leads
-# with the entries that had no driver row in CORRECTNESS_r01.json so round 2
-# converts their pytest-only evidence into driver evidence (VERDICT.md item 1).
-_ROUND2_PRIORITY = [
+# per round.  Round-3 window (VERDICT r02 items 1-3): lead with the 4 rows
+# that were red in r02 (now fixed: w9 oracle CAST, arr2/f13/mm2 array
+# serialization) plus the new ex4 byte-identity hash and the flagship, then
+# the 38 entries whose only driver evidence is r01 (rotate them back in so no
+# green row is older than one round), then the rows-only binary entries.
+_ROUND3_PRIORITY = [
+    # fixed-red + new + flagship re-confirm
+    "w9_sessionize",
+    "arr2_set_ops",
+    "f13_pad_tokens",
+    "mm2_frame_sample",
+    "ex4_corpus_hash",
     "ex1_extract_wrapped",
+    # r01-only entries, stale by one round
+    "j6_anti_join",
+    "j7_range_join",
+    "j8_asof_join",
+    "j9_shipping_priority",
+    "j10_local_supplier_volume",
+    "a1_pricing_summary",
+    "a5_argmin_per_group",
+    "a6_weighted_avg",
+    "a7_percentile",
+    "a2_distinct_chars",
+    "a3_minmax",
+    "a11_rollup",
+    "a13_count_distinct",
+    "a12_approx_distinct",
+    "a15_pivot",
+    "a16_unpivot",
+    "w1_ctc_collapse",
+    "w7_topk_per_group",
+    "w3_moving_avg",
+    "w5_second_diff",
+    "w4_contrast_rescore",
+    "ts1_resample_ffill",
+    "w8_first_last",
+    "o1_topk_orders",
+    "u1_union_tagged",
+    "u2_intersect",
+    "u3_except",
+    "f25_histogram",
+    "f24_scalar_subquery",
+    "a18_stats_suite",
+    "f1_canon_ws",
+    "f2_string_suite",
+    "f18_date_trunc",
+    "f19_json_extract",
+    "f20_url_host",
+    "dd1_dedup_exact",
+    "dd2_minhash_signature",
+    "dd3_minhash_band_pairs",
+    # rows-only binary/sketch surfaces (no SQL oracle by design)
     "ex2_extract_fixture_pages",
     "ex3_extract_pdf_branch",
-    "dd4_word_jaccard_pairs",
-    "dd5_simhash",
-    "dd6_embedding_neardup",
-    "dd7_lsh_neardup",
-    "dd8_dup_clusters",
-    "dd9_editdist_verify",
-    "ann1_cosine_topk",
-    "ann2_lsh_buckets",
-    "ann3_ivf_topk",
-    "tx1_token_count",
-    "tx2_quality_score",
-    "tx3_lang_id",
-    "tx4_fingerprint",
-    "tx5_rolling_hash",
-    "tx6_punct_ratio",
-    "pipe1_curation",
-    "samp1_stratified_sample",
-    "arr1_array_ops",
-    "arr2_set_ops",
-    "w9_sessionize",
-    "w10_range_frame",
-    "a14_cube",
-    "f13_pad_tokens",
-    "p9_rlike_filter",
-    "ud8_grouped_zscore",
-    "udtf1_token_positions",
-    "mm1_binary_meta",
-    "mm2_frame_sample",
-    "st1_stream_hourly",
-    "st2_stateful_per_user",
     "st3_stream_extract",
-    "st4_stream_dedup",
-    "st5_session_window",
-    "st6_stream_static_join",
-    "st7_stream_stream_join",
 ]
 
 
@@ -88,7 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     reg = _registry()
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND2_PRIORITY:
+    for name in _ROUND3_PRIORITY:
         if name in reg:
             ordered[name] = reg[name][0]
     for name, (fn, _) in reg.items():

@@ -749,8 +749,11 @@ def ann3_ivf_topk(spark, sf_dir):
                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id, event_id, ts,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                 -- CAST: DuckDB window sum() yields HUGEINT, which pandas
+                 -- materializes as float64 ("5.0") and breaks the driver's
+                 -- string-canonicalized value hash vs Spark's int64 ("5").
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM g)
     SELECT user_id, session_id, count(*) AS n_events,
            epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
@@ -836,15 +839,20 @@ def a14_cube(spark, sf_dir):
     f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents
                    WHERE doc_id < 50)
     SELECT doc_id,
-           CASE WHEN len(ws) >= 32 THEN ws[1:32]
-                ELSE list_concat(ws, list_transform(range(32 - len(ws)),
-                                                    x -> '<pad>')) END AS padded,
+           array_to_string(
+               CASE WHEN len(ws) >= 32 THEN ws[1:32]
+                    ELSE list_concat(ws, list_transform(range(32 - len(ws)),
+                                                        x -> '<pad>')) END,
+               ' ') AS padded,
            least(len(ws), 32) AS real_len
     FROM w""",
 )
 def f13_pad_tokens(spark, sf_dir):
     # F13 pad-right-to-width (reference exe_t.py:144-152): truncate/pad the
-    # token array to a fixed 32 — the collate_fn analog done columnar
+    # token array to a fixed 32 — the collate_fn analog done columnar.
+    # The padded array is serialized with array_join so the driver's pandas
+    # canonicalizer can hash it (lists are unhashable in sort_values); the
+    # array-typed form stays covered by tests/test_ml_battery.py.
     ws = _spark_words()
     padded = F.when(F.size(ws) >= 32, F.slice(ws, 1, 32)).otherwise(
         F.concat(ws, F.array_repeat(F.lit("<pad>"), 32 - F.size(ws)))
@@ -854,7 +862,7 @@ def f13_pad_tokens(spark, sf_dir):
         .filter(F.col("doc_id") < 50)
         .select(
             "doc_id",
-            padded.alias("padded"),
+            F.array_join(padded, " ").alias("padded"),
             F.least(F.size(ws), F.lit(32)).cast("long").alias("real_len"),
         )
     )
@@ -1134,11 +1142,13 @@ def samp1_stratified_sample(spark, sf_dir):
                  list_sort(list_distinct(list_intersect(a.ws, b.ws))) AS common,
                  len(list_distinct(list_concat(a.ws, b.ws))) AS n_union
           FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id)
-    SELECT doc_a, doc_b, common, n_union FROM p""",
+    SELECT doc_a, doc_b, array_to_string(common, ' ') AS common, n_union FROM p""",
 )
 def arr2_set_ops(spark, sf_dir):
     # array set algebra (intersect/union) JVM-side — the token-overlap
-    # primitive under dd4's Jaccard, exposed directly
+    # primitive under dd4's Jaccard, exposed directly.  `common` is
+    # array_join-serialized for the driver's pandas canonicalizer (lists are
+    # unhashable); the typed-array form is pytest-covered.
     w = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 30)
@@ -1150,7 +1160,9 @@ def arr2_set_ops(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.array_sort(F.array_distinct(F.array_intersect("a.ws", "b.ws"))).alias("common"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.array_intersect("a.ws", "b.ws"))), " "
+            ).alias("common"),
             F.size(F.array_distinct(F.concat("a.ws", "b.ws"))).cast("long").alias("n_union"),
         )
     )
@@ -1311,6 +1323,46 @@ def ex2_extract_fixture_pages(spark, sf_dir):
     pages = spark.read.parquet(path)
     return extract_pages(pages).select(
         "url", "text", "n_blocks", "n_content", "n_boilerplate", "kind"
+    )
+
+
+@q(
+    "ex4_corpus_hash",
+    """SELECT CAST(1061150180202206482 AS BIGINT) AS corpus_hash,
+              CAST(1500 AS BIGINT) AS n_docs""",
+)
+def ex4_corpus_hash(spark, sf_dir):
+    # Driver-checkable byte-identity for the binary extraction path (VERDICT
+    # r02 item 2): run the full Arrow-batched pipeline over the deterministic
+    # 1500-page seed-42 fixture corpus and reduce every output row
+    # (url, text, spans, counts, kind) to one 60-bit sha256-prefix hash,
+    # combined with bit_xor — order-insensitive and map-side combinable, so
+    # the same reduction is a valid corpus checksum at 10^12 rows (no sorted
+    # global concat needed). The oracle literal is computed by the pure-Python
+    # single-node reference extractor (scripts note in tests/test_golden
+    # corpus-hash test) — matching here proves the distributed pipeline is
+    # byte-identical to the golden extractor, per the north rule.
+    from greenocr_spark.operators.extract import extract_pages
+
+    pages = spark.read.parquet(_fixture_pages_path(1500))
+    ext = extract_pages(pages)
+    spans_str = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws(",", s["block_idx"], s["start"], s["end"], s["cls"]),
+        ),
+        ";",
+    )
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("url"),
+        F.col("text"),
+        spans_str,
+        F.concat_ws(",", "n_blocks", "n_content", "n_boilerplate", "kind"),
+    )
+    row_h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
+    return ext.select(row_h.alias("h")).agg(
+        F.bit_xor("h").alias("corpus_hash"), F.count("*").alias("n_docs")
     )
 
 
@@ -1621,11 +1673,11 @@ def st5_session_window(spark, sf_dir):
                  least(greatest(L - frame_idx * step, 0), 8) AS clen
           FROM f)
     SELECT doc_id, frame_idx,
-           CASE WHEN clen = 0 THEN [CAST(0.0 AS REAL)]
-                ELSE list_transform(range(1, clen + 1),
-                       i -> CAST(CAST(('0x' || substr(hx, (off + i - 1) * 2 + 1, 2))
-                                      AS INTEGER) / 255.0 AS REAL))
-           END AS feature,
+           CASE WHEN clen = 0 THEN '0'
+                ELSE array_to_string(list_transform(range(1, clen + 1),
+                       i -> CAST(('0x' || substr(hx, (off + i - 1) * 2 + 1, 2))
+                                 AS INTEGER)), ' ')
+           END AS feature_bytes,
            'stub-decode' AS note
     FROM c""",
 )
@@ -1633,12 +1685,25 @@ def mm2_frame_sample(spark, sf_dir):
     # Multimodal one-to-many: video-style frame sampling over opaque binary
     # payloads (mapInPandas, array<float> features). Decode is a deterministic
     # stub (no image libs in container); batching/schema plumbing is real.
+    # The float32 feature vector is serialized for the driver hash by
+    # recovering the exact source bytes (round(x*255) inverts b/255.0 with
+    # margin far above float32 error) — no float formatting divergence, and
+    # pandas can hash the string. The array<float> surface is pytest-covered.
     from greenocr_spark.operators.multimodal import frame_sample
 
     payload = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return frame_sample(payload, id_col="doc_id", n_frames=4)
+    fs = frame_sample(payload, id_col="doc_id", n_frames=4)
+    return fs.select(
+        "doc_id",
+        "frame_idx",
+        F.array_join(
+            F.transform("feature", lambda x: F.round(x * 255).cast("int").cast("string")),
+            " ",
+        ).alias("feature_bytes"),
+        "note",
+    )
 
 
 @q(

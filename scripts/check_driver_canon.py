@@ -1,0 +1,77 @@
+"""Simulate the driver's CORRECTNESS canonicalizer (pandas sort_values over
+all columns + string value hash) for a named subset of queries, at a given
+sf dir. Usage: python scripts/check_driver_canon.py [sf_dir] name1 name2 ...
+Defaults to the four rows that were red in CORRECTNESS_r02.json.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(pdf: pd.DataFrame) -> str:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    body = "\n".join(
+        "|".join(str(v) for v in row) for row in pdf.itertuples(index=False)
+    )
+    return hashlib.sha256(body.encode()).hexdigest()
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = args or ["w9_sessionize", "arr2_set_ops", "f13_pad_tokens", "mm2_frame_sample"]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml  # noqa: F401
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{p}')")
+
+    failed = []
+    for name in names:
+        fn, sql = b.REGISTRY[name]
+        spdf = fn(spark, sf_dir).toPandas()
+        odf = con.execute(sql).fetchdf()
+        rows_ok = len(spdf) == len(odf)
+        schema_ok = sorted(spdf.columns) == sorted(odf.columns)
+        try:
+            hash_ok = _canon(spdf) == _canon(odf)
+        except Exception as e:  # canonicalizer crash = driver red
+            hash_ok = False
+            print(f"{name}: CANON ERROR {type(e).__name__}: {e}")
+        status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+        print(f"{name}: rows={rows_ok}({len(spdf)}/{len(odf)}) schema={schema_ok} hash={hash_ok} -> {status}")
+        if status == "FAIL":
+            failed.append(name)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -4,6 +4,8 @@ real multilingual sentences, and the scale shape of the dedup joins."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -104,16 +106,32 @@ def test_mm2_oracle_byte_exact_on_non_ascii(spark, tmp_path):
     sf_dir = str(tmp_path)
 
     got = sorted(
-        (r["doc_id"], r["frame_idx"], tuple(r["feature"]))
+        (r["doc_id"], r["frame_idx"], r["feature_bytes"])
         for r in b.REGISTRY["mm2_frame_sample"][0](spark, sf_dir).collect()
     )
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pdir}/*.parquet')")
     want = sorted(
-        (d, f, tuple(feat))
+        (d, f, feat)
         for d, f, feat, _ in con.execute(b.REGISTRY["mm2_frame_sample"][1]).fetchall()
     )
     assert got == want
+
+    # the typed array<float> surface (pre-serialization): features really are
+    # byte/255.0 float vectors over the UTF-8 payload
+    from greenocr_spark.operators.multimodal import frame_sample
+
+    payload = spark.read.parquet(pdir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    typed = frame_sample(payload, id_col="doc_id", n_frames=4)
+    assert dict(typed.dtypes)["feature"] == "array<float>"
+    raw = rows[0][1].encode("utf-8")
+    step = max(1, len(raw) // 4)
+    first = [r for r in typed.collect() if r["doc_id"] == 0 and r["frame_idx"] == 0][0]
+    expect = [float(x) / 255.0 for x in raw[:8]]
+    assert first["feature"] == pytest.approx(expect, abs=1e-6)
+    assert step >= 1  # sanity: non-degenerate sampling on this fixture
 
 
 def test_connected_components_adversarial_graphs(spark):

@@ -373,3 +373,39 @@ def test_pages_io_roundtrip(spark, tmp_path):
     assert read_pages(spark, p).count() == 2
     write_pages(df.limit(1), p)  # append mode
     assert read_pages(spark, p).count() == 3
+
+
+def test_corpus_hash_frozen():
+    """The 1500-page seed-42 fixture corpus is the extractor's byte-identity
+    anchor. Two frozen literals: the round-2 sequential sha256 (any extractor
+    semantics change breaks it) and the order-insensitive xor reduction that
+    ex4_corpus_hash's driver oracle pins (single-node pure-Python here; the
+    distributed Spark pipeline must land on the same value via the driver)."""
+    import hashlib
+    import json
+
+    seq = hashlib.sha256()
+    acc = 0
+    for p in make_pages(1500, seed=42):
+        r = extract_document(p["html"])
+        seq.update(p["url"].encode())
+        seq.update(r["text"].encode())
+        seq.update(json.dumps(r["spans"]).encode())
+        seq.update(
+            str((r["n_blocks"], r["n_content"], r["n_boilerplate"], r["kind"])).encode()
+        )
+        spans_str = ";".join(f"{b},{s},{e},{c}" for (b, s, e, c) in r["spans"])
+        canon = "\x1f".join(
+            [
+                p["url"],
+                r["text"],
+                spans_str,
+                f'{r["n_blocks"]},{r["n_content"]},{r["n_boilerplate"]},{r["kind"]}',
+            ]
+        )
+        acc ^= int(hashlib.sha256(canon.encode("utf-8")).hexdigest()[:15], 16)
+    assert (
+        seq.hexdigest()
+        == "b4de3c885388d051213ef3db03f8c6decbe0bc6f25056f3165d696996c0eb5c2"
+    )
+    assert acc == 1061150180202206482  # ex4_corpus_hash oracle literal
