@@ -179,6 +179,7 @@ def _connected_components(pairs, max_iter: int = 20):
     lab = e.groupBy("s").agg(F.least(F.min("d"), F.col("s")).alias("lab")).select(
         F.col("s").alias("node"), "lab"
     )
+    converged = False
     for _ in range(max_iter):
         # neighbor-min: for each edge (s,d), s sees label(d)
         nb = (
@@ -211,7 +212,18 @@ def _connected_components(pairs, max_iter: int = 20):
         )
         lab = jumped
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A silently-truncated result would hand back WRONG cluster ids with
+        # no signal (ADVICE r02). Pointer jumping converges in O(log
+        # diameter), so hitting this bound means the input graph (or
+        # max_iter) is pathological — fail loudly instead.
+        raise RuntimeError(
+            f"connected components did not converge within {max_iter} "
+            "pointer-jumping rounds; raise max_iter (graph diameter > "
+            f"2^{max_iter}) or check the pair input for corruption"
+        )
     return lab.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
 
 
@@ -1393,8 +1405,12 @@ def _stream_events_dir(sf_dir: str) -> str:
     stream_dir = f"/tmp/greenocr_stream_events_{key}"
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
+    try:
+        # idempotent create — a concurrent process sharing this sf_dir may
+        # win the race between an exists() check and symlink() (ADVICE r02)
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    except FileExistsError:
+        pass
     return stream_dir
 
 

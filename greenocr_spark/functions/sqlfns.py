@@ -18,8 +18,15 @@ def canon_ws_expr(col) -> Column:
 
 
 def host_expr(url_col) -> Column:
-    """Extract the host from a url (F20) — feeds skew salting."""
-    return F.parse_url(F.col(url_col) if isinstance(url_col, str) else url_col, F.lit("HOST"))
+    """Extract the host from a url (F20) — feeds skew salting.
+
+    try_parse_url, not parse_url: Spark 4's parse_url RAISES
+    INVALID_URL on malformed input, which would fail the whole job on one
+    bad crawl record. Unparseable urls yield NULL host and are treated as
+    cold (hashed by the NULL host, never salted hot)."""
+    return F.try_parse_url(
+        F.col(url_col) if isinstance(url_col, str) else url_col, F.lit("HOST")
+    )
 
 
 def salt_expr(url_col, n_salts: int) -> Column:
@@ -76,9 +83,17 @@ def adaptive_salted_part_id(
     try:
         total = per_host.agg(F.sum("count")).first()[0] or 0
         budget = max(total / n_parts, 1.0)
+        # NULL hosts (unparseable urls) stay cold even over budget: a None
+        # key would break sorted(hot.items()) and is invalid as a
+        # create_map literal key (ADVICE r02). They hash by host alone —
+        # all-NULL-host skew is not salvageable by salting anyway (no
+        # per-host identity to spread), and in practice such rows are
+        # rejects headed for the error sink.
         hot = {
             r["h"]: min(n_parts, math.ceil(r["count"] / budget))
-            for r in per_host.filter(F.col("count") > budget).collect()
+            for r in per_host.filter(
+                F.col("h").isNotNull() & (F.col("count") > budget)
+            ).collect()
         }
     finally:
         per_host.unpersist()

@@ -59,25 +59,35 @@ def _index_root(out_dir: str) -> str:
     return os.path.join(out_dir, "url_index")
 
 
-def _read_index(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """Resolve the pointer file to the current committed index version."""
+def _read_index(spark: SparkSession, out_dir: str):
+    """Resolve the pointer file to the current committed index version.
+    Returns (index DataFrame | None, layout meta dict | None). The pointer
+    carries the partition-layout parameters the index was built with
+    (n_parts/n_salts) so a later refresh can't silently mix layouts."""
     root = _index_root(out_dir)
     ptr = os.path.join(root, _INDEX_POINTER)
     if not os.path.exists(ptr):
-        return None
+        return None, None
     with open(ptr) as f:
-        version = f.read().strip()
-    return spark.read.parquet(os.path.join(root, version))
+        lines = f.read().strip().splitlines()
+    version = lines[0]
+    meta = None
+    if len(lines) > 1:
+        meta = dict(kv.split("=", 1) for kv in lines[1:] if "=" in kv)
+        meta = {k: int(v) for k, v in meta.items()}
+    return spark.read.parquet(os.path.join(root, version)), meta
 
 
-def _commit_index(out_dir: str, version: str) -> None:
+def _commit_index(out_dir: str, version: str, n_parts: int, n_salts: int) -> None:
     """Atomically repoint the index to `version` (os.replace of a one-line
-    file is atomic on posix) and best-effort clean older versions."""
+    file is atomic on posix) and best-effort clean older versions. The
+    layout params ride in the same atomic pointer write — meta and version
+    can never disagree."""
     root = _index_root(out_dir)
     ptr = os.path.join(root, _INDEX_POINTER)
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
-        f.write(version)
+        f.write(f"{version}\nn_parts={n_parts}\nn_salts={n_salts}")
     os.replace(tmp, ptr)
     for entry in os.listdir(root):
         if entry.startswith("v_") and entry != version:
@@ -118,7 +128,26 @@ def refresh_extract(
         "part_id", salted_part_id(F.col("url"), n_parts, n_salts)
     ).withColumn("sig", F.coalesce(F.md5("html"), F.lit("")))
 
-    index = _read_index(spark, out_dir)
+    index, idx_meta = _read_index(spark, out_dir)
+    if index is not None:
+        # A refresh with different layout params would write changed urls
+        # into new-layout partitions while their stale rows sit in
+        # old-layout partitions that never enter `affected` — permanent
+        # duplicate urls (ADVICE r02). The committed layout wins; reject
+        # mismatches loudly.
+        if idx_meta is None:
+            raise ValueError(
+                f"url index at {_index_root(out_dir)} has no layout metadata "
+                "(written by an older version); its part_id assignment cannot "
+                "be validated against this refresh — rebuild the output fresh"
+            )
+        if idx_meta.get("n_parts") != n_parts or idx_meta.get("n_salts") != n_salts:
+            raise ValueError(
+                f"layout mismatch: index committed with n_parts="
+                f"{idx_meta.get('n_parts')}, n_salts={idx_meta.get('n_salts')} "
+                f"but refresh called with n_parts={n_parts}, n_salts={n_salts}; "
+                "changing the partition layout requires a fresh rebuild"
+            )
 
     if index is None:
         changed = cur
@@ -205,7 +234,7 @@ def refresh_extract(
         idx_df.write.mode("overwrite").parquet(
             os.path.join(_index_root(out_dir), version)
         )
-        _commit_index(out_dir, version)
+        _commit_index(out_dir, version, n_parts, n_salts)
         n_pages = spark.read.parquet(
             os.path.join(_index_root(out_dir), version)
         ).count()  # parquet metadata count — no rescan of the snapshot

@@ -115,7 +115,21 @@ def run_extract_job(
         hot = None
         if resume:
             try:
-                hot = {r["h"]: r["s"] for r in spark.read.parquet(hot_dir).collect()}
+                hot_df = spark.read.parquet(hot_dir)
+                if not {"h", "s"} <= set(hot_df.columns):
+                    # Pre-upgrade layouts persisted only 'h' (and used a
+                    # hashed (host,salt) part_id formula); their manifests'
+                    # part_ids no longer match what this version assigns, so
+                    # resuming would mis-route rows. Fail explicitly instead
+                    # of KeyError-ing mid-resume (ADVICE r02).
+                    raise ValueError(
+                        f"incompatible hot_hosts layout at {hot_dir} "
+                        f"(columns {sorted(hot_df.columns)}, expected h/s): "
+                        "this out_dir was written by an older version whose "
+                        "part_id assignment differs — rerun fresh into a new "
+                        "out_dir (or delete this one) instead of resuming"
+                    )
+                hot = {r["h"]: r["s"] for r in hot_df.collect()}
             except AnalysisException as e:
                 # ONLY a missing path means first run; a transient read
                 # failure must propagate, not silently re-derive a different

@@ -6,12 +6,10 @@ Defaults to the four rows that were red in CORRECTNESS_r02.json.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
 import duckdb
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,19 +19,19 @@ TABLES = [
 ]
 
 
-def _canon(pdf: pd.DataFrame) -> str:
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
-    body = "\n".join(
-        "|".join(str(v) for v in row) for row in pdf.itertuples(index=False)
-    )
-    return hashlib.sha256(body.encode()).hexdigest()
+from tests.oracle_compare import driver_canon_hash as _canon  # noqa: E402
 
 
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    names = args or ["w9_sessionize", "arr2_set_ops", "f13_pad_tokens", "mm2_frame_sample"]
+    run_all = "--all" in args
+    args = [a for a in args if a != "--all"]
+    names = args or (
+        None  # resolved to every oracle-backed entry after registry import
+        if run_all
+        else ["w9_sessionize", "arr2_set_ops", "f13_pad_tokens", "mm2_frame_sample"]
+    )
 
     from pyspark.sql import SparkSession
 
@@ -45,6 +43,9 @@ def main() -> int:
     )
     import greenocr_spark.battery as b
     import greenocr_spark.battery_ml  # noqa: F401
+
+    if names is None:
+        names = [n for n, (_, sql) in b.REGISTRY.items() if sql is not None]
 
     con = duckdb.connect()
     for tbl in TABLES:

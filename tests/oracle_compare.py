@@ -4,6 +4,7 @@ gate: row count + column names + order-insensitive value comparison
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import duckdb
@@ -41,6 +42,19 @@ def normalize_rows(cols, rows):
     return [c for c in sorted(cols)], out
 
 
+def driver_canon_hash(pdf) -> str:
+    """The external driver's canonicalization: columns sorted by name, rows
+    sorted over all columns, every value stringified, sha256 of the body.
+    Crashes on unhashable cells (lists) exactly like the driver does —
+    that crash IS the signal a query's output shape is driver-unsafe."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    body = "\n".join(
+        "|".join(str(v) for v in row) for row in pdf.itertuples(index=False)
+    )
+    return hashlib.sha256(body.encode()).hexdigest()
+
+
 def compare(spark, sf_dir, spark_fn, sql, float_tol=0.0):
     sdf = spark_fn(spark, sf_dir)
     s_cols = sdf.columns
@@ -64,6 +78,26 @@ def compare(spark, sf_dir, spark_fn, sql, float_tol=0.0):
                 problems.append(f"row {i} differs:\n  spark={a}\n  duck ={b}")
                 if len(problems) > 4:
                     break
+    if not problems:
+        # Driver parity: the external gate compares via pandas (toPandas /
+        # fetchdf), where engine-type artifacts invisible to python-object
+        # comparison surface — DuckDB HUGEINT materializes as float64
+        # ("5.0" vs "5"), list cells crash sort_values. w9/arr2/f13/mm2
+        # were all driver-red while this python-object check was green.
+        try:
+            s_hash = driver_canon_hash(sdf.toPandas())
+            con = duck_connection(sf_dir)
+            d_hash = driver_canon_hash(con.execute(sql).fetchdf())
+            con.close()
+        except Exception as e:
+            problems.append(f"driver canonicalizer would crash: {e!r}")
+        else:
+            if s_hash != d_hash:
+                problems.append(
+                    "driver-canon hash mismatch (values equal object-wise; "
+                    "a pandas dtype artifact — check integer aggregates for "
+                    "missing CASTs)"
+                )
     return problems
 
 

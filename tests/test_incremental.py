@@ -159,3 +159,38 @@ def test_incremental_noop_refresh(spark, snapshots, tmp_path):
     assert stats["n_deleted"] == 0
     assert stats["n_parts_rewritten"] == 0
     assert _refreshed(spark, out) == _full_reference(spark, snap1)
+
+
+def test_refresh_rejects_layout_change(spark, snapshots, tmp_path):
+    """A refresh with different n_parts/n_salts than the committed index
+    must fail loudly — a silent mix of layouts strands stale rows in
+    partitions the diff never visits (permanent duplicate urls)."""
+    d, _, _ = snapshots
+    out = str(tmp_path / "out")
+    snap1 = spark.read.parquet(str(d / "snap1.parquet"))
+    refresh_extract(spark, snap1, out, n_parts=N_PARTS)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        refresh_extract(spark, snap1, out, n_parts=N_PARTS * 2)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        refresh_extract(spark, snap1, out, n_parts=N_PARTS, n_salts=3)
+    # same layout still fine (no-op refresh)
+    stats = refresh_extract(spark, snap1, out, n_parts=N_PARTS)
+    assert stats["n_new_or_changed"] == 0
+
+
+def test_refresh_rejects_legacy_index_pointer(spark, snapshots, tmp_path):
+    """A pointer file without layout metadata (older writer) cannot be
+    validated — refuse to refresh over it instead of guessing."""
+    import os
+
+    d, _, _ = snapshots
+    out = str(tmp_path / "out")
+    snap1 = spark.read.parquet(str(d / "snap1.parquet"))
+    refresh_extract(spark, snap1, out, n_parts=N_PARTS)
+    ptr = os.path.join(out, "url_index", "INDEX_CURRENT")
+    with open(ptr) as f:
+        version = f.read().splitlines()[0]
+    with open(ptr, "w") as f:
+        f.write(version)  # strip the metadata lines, as an old writer would
+    with pytest.raises(ValueError, match="no layout metadata"):
+        refresh_extract(spark, snap1, out, n_parts=N_PARTS)

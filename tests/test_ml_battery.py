@@ -211,3 +211,32 @@ def test_adaptive_salting_single_input_scan(spark):
     by_host = {r["h"]: r["np"] for r in parts}
     assert by_host["hot.example.com"] > 1
     assert all(v == 1 for h, v in by_host.items() if h != "hot.example.com")
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """An exhausted iteration budget must raise, never return partial
+    (wrong) cluster ids silently (ADVICE r02)."""
+    from greenocr_spark.battery_ml import _connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _connected_components(pairs, max_iter=1)
+
+
+def test_adaptive_salting_null_host_stays_cold(spark):
+    """Unparseable urls (NULL host) never enter the hot map even when they
+    dominate the corpus — a None key would crash the map build — and the
+    part_id column stays non-null for them (ADVICE r02)."""
+    from greenocr_spark.functions.sqlfns import adaptive_salted_part_id
+
+    rows = [("not a url %%%",)] * 400 + [
+        (f"https://ok.example.com/{i}",) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out, hot = adaptive_salted_part_id(df, "url", n_parts=8)
+    assert None not in hot
+    got = out.select("part_id").distinct().collect()
+    assert all(r["part_id"] is not None for r in got)
+    assert out.count() == 500

@@ -409,3 +409,17 @@ def test_corpus_hash_frozen():
         == "b4de3c885388d051213ef3db03f8c6decbe0bc6f25056f3165d696996c0eb5c2"
     )
     assert acc == 1061150180202206482  # ex4_corpus_hash oracle literal
+
+
+def test_adaptive_resume_rejects_legacy_hot_hosts(spark, pages_path, tmp_path):
+    """Resuming an adaptive-salted job over a hot_hosts map written by an
+    older layout (single column, different part_id formula) must fail with
+    an explicit error, not a KeyError mid-resume."""
+    out = str(tmp_path / "legacy")
+    pages = spark.read.parquet(pages_path)
+    # simulate the pre-upgrade artifact: only column 'h'
+    spark.createDataFrame([("big.example.com",)], "h string").coalesce(
+        1
+    ).write.parquet(f"{out}/hot_hosts")
+    with pytest.raises(ValueError, match="incompatible hot_hosts layout"):
+        run_extract_job(spark, pages, out, n_parts=16, salting="adaptive")
