@@ -52,6 +52,11 @@ _ROUND3_PRIORITY = [
     "mm2_frame_sample",
     "ex4_corpus_hash",
     "ex1_extract_wrapped",
+    # new round-3 operators (first driver evidence)
+    "tx7_repetition_ratio",
+    "w11_islands",
+    "pg1_paragraph_dedup",
+    "url2_canonicalize",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

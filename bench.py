@@ -157,6 +157,11 @@ def main() -> None:
         "extract_n_pages": n_pages,
         "cpus": args.cpus,
         "host_calib_single_core_docs_per_sec": round(single_core, 1),
+        # host-normalized throughput: docs/s per unit of this host's
+        # single-core extraction speed measured in the same process run.
+        # ≈ effective parallel speedup of the pipeline; compare THIS across
+        # rounds/VMs, not the raw docs/s (host drifts 2-3x minute-to-minute).
+        "extract_docs_per_sec_normalized": round(docs_per_sec / single_core, 2),
     }))
     spark.stop()
 

@@ -1064,6 +1064,229 @@ def tx6_punct_ratio(spark, sf_dir):
 
 
 @q(
+    "tx7_repetition_ratio",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+    b AS (SELECT doc_id,
+                 list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS big
+          FROM w WHERE len(ws) >= 2)
+    SELECT doc_id,
+           len(big) AS n_bigrams,
+           round(1 - len(list_distinct(big)) / CAST(len(big) AS DOUBLE), 4)
+               AS dup_bigram_frac
+    FROM b""",
+)
+def tx7_repetition_ratio(spark, sf_dir):
+    # Gopher-style repetition quality rule: the fraction of duplicate word
+    # bigrams within a document (high -> boilerplate/spam/templated text).
+    # Entirely array-lambda JVM-side, no explode and no shuffle — one narrow
+    # pass at any corpus size.
+    ws = _spark_words()
+    big = F.transform(
+        F.slice(ws, 1, F.size(ws) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(ws, i + 2)),
+    )
+    big_col = big.alias("big")
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(ws) >= 2)
+        .select("doc_id", big_col)
+        .select(
+            "doc_id",
+            F.size("big").cast("long").alias("n_bigrams"),
+            F.round(
+                1 - F.size(F.array_distinct("big")) / F.size("big").cast("double"), 4
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+@q(
+    "w11_islands",
+    """WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (SELECT user_id, event_type, ts,
+                 CAST(sum(boundary) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+          FROM g)
+    SELECT user_id, grp, event_type,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+           count(*) AS run_len
+    FROM r GROUP BY user_id, grp, event_type""",
+)
+def w11_islands(spark, sf_dir):
+    # Gaps-and-islands: maximal runs of consecutive same-type events per
+    # user (lag boundary flag -> running sum -> group). The W-family
+    # companion to w9's gap-based sessionization; same one-shuffle shape
+    # (window partitioned on user_id, then groupBy the same key — AQE
+    # reuses the partitioning, no second exchange of the full data).
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    grp = F.sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # parquet stores TIMESTAMP_NTZ — route through timestamp for epoch micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("grp", grp)
+        .withColumn("us", us)
+        .groupBy("user_id", "grp", "event_type")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count("*").alias("run_len"),
+        )
+        .select("user_id", "grp", "event_type", "start_us", "end_us", "run_len")
+    )
+
+
+@q(
+    "pg1_paragraph_dedup",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+    c0 AS (SELECT doc_id,
+                  list_transform(range(CAST(ceil(len(ws) / 3.0) AS BIGINT)),
+                                 i -> array_to_string(ws[i * 3 + 1 : i * 3 + 3], ' '))
+                      AS chunks
+           FROM w),
+    c AS (SELECT doc_id, unnest(chunks) AS chunk,
+                 unnest(range(len(chunks))) AS pos
+          FROM c0),
+    keyed AS (SELECT doc_id, pos, chunk, md5(chunk) AS h,
+                     doc_id * 100000 + pos AS ord FROM c),
+    win AS (SELECT h, min(ord) AS ord FROM keyed GROUP BY h),
+    kept AS (SELECT keyed.doc_id, keyed.pos, keyed.chunk
+             FROM keyed JOIN win USING (h, ord))
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id""",
+)
+def pg1_paragraph_dedup(spark, sf_dir):
+    # CCNet/RefinedWeb-style sub-document dedup: split every document into
+    # fixed token chunks (3 tokens here so the tiny fixture vocabulary
+    # actually collides; the paragraph-hash shape is chunk-size-agnostic),
+    # keep only the FIRST occurrence of each chunk corpus-wide (min
+    # (doc_id,pos), encoded as doc_id*1e5+pos), and reassemble each
+    # document's surviving chunks in order. Scale shape: one narrow explode,
+    # one shuffle on the chunk md5 (never the raw string), a semi-join back
+    # on (hash, winner-ord), one groupBy(doc_id) reassembly — no step is
+    # ever all-pairs, and map-side partial min cuts the first shuffle.
+    ws = _spark_words()
+    n_chunks = F.ceil(F.size(ws) / F.lit(3.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * 3 + 1, 3)),
+    )
+    c = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+        .withColumn("h", F.md5("chunk"))
+        .withColumn("ord", F.col("doc_id") * 100000 + F.col("pos"))
+    )
+    win = c.groupBy("h").agg(F.min("ord").alias("ord"))
+    kept = c.join(win, ["h", "ord"], "left_semi")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+
+
+_URL2_DUCK_RAW = """CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN 'HTTPS://WWW.Example-' || source || '.COM:443/Docs/' || CAST(doc_id AS VARCHAR) || '/'
+        WHEN 1 THEN 'http://example-' || source || '.com:80/docs/' || CAST(doc_id AS VARCHAR) || '?q=1#frag'
+        WHEN 2 THEN 'https://Example-' || source || '.com/docs/' || CAST(doc_id AS VARCHAR) || '#section-2'
+        WHEN 3 THEN 'https://www.example-' || source || '.com/docs/' || CAST(doc_id AS VARCHAR) || '///'
+        ELSE 'HTTP://EXAMPLE-' || source || '.COM/Docs/' || CAST(doc_id AS VARCHAR)
+    END"""
+
+
+@q(
+    "url2_canonicalize",
+    f"""WITH raw AS (SELECT doc_id, {_URL2_DUCK_RAW} AS url_raw FROM documents),
+    p AS (SELECT doc_id, url_raw,
+                 lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1)) AS scheme,
+                 lower(regexp_extract(url_raw, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport,
+                 regexp_replace(regexp_extract(url_raw, '^[A-Za-z]+://[^/?#]*(.*)$', 1),
+                                '#.*$', '') AS rest
+          FROM raw),
+    h AS (SELECT doc_id, url_raw, scheme,
+                 regexp_replace(
+                     CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                          WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                          ELSE hostport END,
+                     '^www\\.', '') AS host,
+                 regexp_replace(rest, '/+$', '') AS path
+          FROM p)
+    SELECT doc_id, url_raw, scheme || '://' || host || path AS url_canon
+    FROM h""",
+)
+def url2_canonicalize(spark, sf_dir):
+    # Crawl-frontier URL canonicalization — the dedup key a web-scale
+    # pipeline computes before ANY content hashing: lowercase scheme+host,
+    # strip fragment, drop default ports (:443/:80), drop the www. prefix,
+    # strip trailing slashes; path case and query string are preserved
+    # (RFC 3986: path is case-sensitive). Raw urls are synthesized
+    # deterministically from doc_id in both engines (the test tables carry
+    # no url column). Pure regexp projection — narrow, codegen'd, no
+    # shuffle; patterns are RE2-safe (no lookaround) so Java and DuckDB
+    # semantics coincide.
+    raw = F.when(
+        (F.col("doc_id") % 5) == 0,
+        F.concat(F.lit("HTTPS://WWW.Example-"), F.col("source"), F.lit(".COM:443/Docs/"),
+                 F.col("doc_id").cast("string"), F.lit("/")),
+    ).when(
+        (F.col("doc_id") % 5) == 1,
+        F.concat(F.lit("http://example-"), F.col("source"), F.lit(".com:80/docs/"),
+                 F.col("doc_id").cast("string"), F.lit("?q=1#frag")),
+    ).when(
+        (F.col("doc_id") % 5) == 2,
+        F.concat(F.lit("https://Example-"), F.col("source"), F.lit(".com/docs/"),
+                 F.col("doc_id").cast("string"), F.lit("#section-2")),
+    ).when(
+        (F.col("doc_id") % 5) == 3,
+        F.concat(F.lit("https://www.example-"), F.col("source"), F.lit(".com/docs/"),
+                 F.col("doc_id").cast("string"), F.lit("///")),
+    ).otherwise(
+        F.concat(F.lit("HTTP://EXAMPLE-"), F.col("source"), F.lit(".COM/Docs/"),
+                 F.col("doc_id").cast("string"))
+    )
+    scheme = F.lower(F.regexp_extract("url_raw", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("url_raw", r"^[A-Za-z]+://([^/?#]*)", 1))
+    rest = F.regexp_replace(
+        F.regexp_extract("url_raw", r"^[A-Za-z]+://[^/?#]*(.*)$", 1), r"#.*$", ""
+    )
+    host = F.regexp_replace(
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport),
+        r"^www\.", "",
+    )
+    path = F.regexp_replace(rest, r"/+$", "")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", raw.alias("url_raw"))
+        .select(
+            "doc_id",
+            "url_raw",
+            F.concat(scheme, F.lit("://"), host, path).alias("url_canon"),
+        )
+    )
+
+
+@q(
     "pipe1_curation",
     f"""WITH w AS (SELECT doc_id, lang, text, {_duck_words()} AS ws FROM documents),
     q AS (SELECT doc_id, lang, text, len(ws) AS n_tokens,

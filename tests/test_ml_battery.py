@@ -240,3 +240,93 @@ def test_adaptive_salting_null_host_stays_cold(spark):
     got = out.select("part_id").distinct().collect()
     assert all(r["part_id"] is not None for r in got)
     assert out.count() == 500
+
+
+def test_tx7_repetition_known_fraction(spark, tmp_path):
+    """Gopher repetition rule on hand-built docs: 'a b a b a' has bigrams
+    [a b, b a, a b, b a] -> 2 distinct of 4 -> dup fraction 0.5; an
+    all-distinct doc scores 0."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = [(0, "a b a b a"), (1, "w x y z")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["dup_bigram_frac"])
+        for r in b.REGISTRY["tx7_repetition_ratio"][0](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (4, 0.5), 1: (3, 0.0)}
+
+
+def test_pg1_keeps_first_occurrence_and_order(spark, tmp_path):
+    """Cross-doc chunk dedup: doc 1 repeats doc 0's first chunk, so it
+    survives only in doc 0; each doc's remaining chunks reassemble in
+    original order."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = [
+        (0, "a b c x y z"),          # chunks: "a b c", "x y z"
+        (1, "a b c q r s t u v"),    # chunks: "a b c"(dup), "q r s", "t u v"
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in b.REGISTRY["pg1_paragraph_dedup"][0](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: ("a b c x y z", 2), 1: ("q r s t u v", 2)}
+
+
+def test_url2_canonical_forms(spark, tmp_path):
+    """Each synthesis variant lands on the expected canonical url: host
+    lowercased, www./default-port/fragment/trailing-slash stripped, path
+    case and query preserved."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = [(i, "t", "src") for i in range(5)]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r["url_canon"]
+        for r in b.REGISTRY["url2_canonicalize"][0](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: "https://example-src.com/Docs/0",
+        1: "http://example-src.com/docs/1?q=1",
+        2: "https://example-src.com/docs/2",
+        3: "https://example-src.com/docs/3",
+        4: "http://example-src.com/Docs/4",
+    }
+
+
+def test_w11_islands_runs(spark, tmp_path):
+    """Gaps-and-islands on a hand-built event stream: A A B A -> three runs
+    (A len 2, B len 1, A len 1), never merging the two A islands."""
+    import datetime as dt
+
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "A", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 7, "A", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 7, "B", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 7, "A", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r["grp"], r["event_type"], r["run_len"])
+        for r in b.REGISTRY["w11_islands"][0](spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, "A", 2), (2, "B", 1), (3, "A", 1)]
