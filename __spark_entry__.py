@@ -53,6 +53,7 @@ _ROUND3_PRIORITY = [
     "ex4_corpus_hash",
     "ex1_extract_wrapped",
     # new round-3 operators (first driver evidence)
+    "ex5_warc_corpus_hash",
     "tx7_repetition_ratio",
     "w11_islands",
     "pg1_paragraph_dedup",

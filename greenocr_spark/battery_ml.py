@@ -1580,7 +1580,34 @@ def ex4_corpus_hash(spark, sf_dir):
     from greenocr_spark.operators.extract import extract_pages
 
     pages = spark.read.parquet(_fixture_pages_path(1500))
-    ext = extract_pages(pages)
+    return _corpus_hash_reduce(extract_pages(pages))
+
+
+@q(
+    "ex5_warc_corpus_hash",
+    """SELECT CAST(1061150180202206482 AS BIGINT) AS corpus_hash,
+              CAST(1500 AS BIGINT) AS n_docs""",
+)
+def ex5_warc_corpus_hash(spark, sf_dir):
+    # The WARC ingestion face (sources/warc.py): the SAME 1500-page corpus,
+    # serialized into Common-Crawl-style WARC segment files, read back
+    # through the binaryFile + Content-Length parser, extracted, and
+    # reduced with the identical xor hash as ex4. Matching ex4's frozen
+    # golden literal proves WARC path ≡ parquet path ≡ pure-Python
+    # reference, byte for byte — container-format independence of the
+    # whole pipeline.
+    from greenocr_spark.operators.extract import extract_pages
+    from greenocr_spark.sources.warc import read_warc
+
+    pages = read_warc(spark, _fixture_warc_dir(1500)).select("url", "html")
+    return _corpus_hash_reduce(extract_pages(pages))
+
+
+def _corpus_hash_reduce(ext):
+    """Reduce an extraction output to one (corpus_hash, n_docs) row: per-row
+    sha256 prefix (60 bits) over url/text/spans/counts joined on unit
+    separators, combined with bit_xor — order-insensitive, map-side
+    combinable, a valid corpus checksum at any scale."""
     spans_str = F.array_join(
         F.transform(
             "spans",
@@ -1599,6 +1626,19 @@ def ex4_corpus_hash(spark, sf_dir):
     return ext.select(row_h.alias("h")).agg(
         F.bit_xor("h").alias("corpus_hash"), F.count("*").alias("n_docs")
     )
+
+
+def _fixture_warc_dir(n: int) -> str:
+    d = f"/tmp/greenocr_fixture_warc_{n}"
+    done = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(done):
+        from greenocr_spark.fixtures import make_pages
+        from greenocr_spark.sources.warc import write_warc_dir
+
+        write_warc_dir(make_pages(n, seed=42), d, n_segments=8)
+        with open(done, "w") as f:
+            f.write("ok")
+    return d
 
 
 def _fixture_pages_path(n: int) -> str:
