@@ -12,17 +12,22 @@ byte sequences can never confuse record boundaries.
 
 Subset implemented (and emitted by write_warc): WARC/1.0, headers
 WARC-Type / WARC-Target-URI / WARC-Date / Content-Length, response records
-only. Production deltas, deliberately out of scope here: per-record gzip
-members (wrap the record parse in zlib streaming), request/metadata record
-types (filtered by WARC-Type), HTTP response envelopes inside the block
-(split at the first \\r\\n\\r\\n). The strict=False path routes malformed
-records to a counter instead of failing the segment.
+only, plain or per-record-gzip-member segments (`.warc` / `.warc.gz` —
+the actual Common Crawl wire format, where each record is its own gzip
+member so a reader can stream member-by-member without decompressing the
+whole segment). Production deltas, deliberately out of scope here:
+request/metadata record types beyond filtering on WARC-Type, HTTP
+response envelopes inside the block (split at the first \\r\\n\\r\\n).
+The strict=False path stops a segment at the first malformed record
+instead of failing it.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import gzip as _gzip
 import os
+import zlib as _zlib
 from typing import Iterator
 
 import pandas as pd
@@ -56,33 +61,62 @@ def _parse_ts(s: str) -> _dt.datetime:
     return _dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
 
 
-def write_warc(pages: list[dict], path: str) -> str:
+def _record_bytes(p: dict) -> bytes:
+    html = p["html"] if p["html"] is not None else b""
+    return (
+        _VERSION + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Target-URI: " + p["url"].encode("utf-8") + _CRLF
+        + b"WARC-Date: " + _format_ts(p["warc_ts"]).encode() + _CRLF
+        + b"Content-Length: " + str(len(html)).encode() + _CRLF
+        + _CRLF
+        + html
+        + _CRLF + _CRLF
+    )
+
+
+def write_warc(pages: list[dict], path: str, compress: bool = False) -> str:
     """Serialize page dicts (url, warc_ts, html) as one WARC segment file.
-    Deterministic: record order = input order, fixed header order."""
+    Deterministic: record order = input order, fixed header order. With
+    compress=True, each record becomes its own gzip member (the Common
+    Crawl .warc.gz convention; mtime pinned for byte-determinism)."""
     with open(path, "wb") as f:
         for p in pages:
-            html = p["html"] if p["html"] is not None else b""
-            f.write(_VERSION + _CRLF)
-            f.write(b"WARC-Type: response" + _CRLF)
-            f.write(b"WARC-Target-URI: " + p["url"].encode("utf-8") + _CRLF)
-            f.write(b"WARC-Date: " + _format_ts(p["warc_ts"]).encode() + _CRLF)
-            f.write(b"Content-Length: " + str(len(html)).encode() + _CRLF)
-            f.write(_CRLF)
-            f.write(html)
-            f.write(_CRLF + _CRLF)
+            rec = _record_bytes(p)
+            if compress:
+                rec = _gzip.compress(rec, mtime=0)
+            f.write(rec)
     return path
 
 
-def write_warc_dir(pages: list[dict], out_dir: str, n_segments: int = 4) -> str:
-    """Shard pages round-robin into n_segments .warc files (the CC layout:
-    parallelism comes from segment count, not intra-file splitting)."""
+def write_warc_dir(
+    pages: list[dict], out_dir: str, n_segments: int = 4, compress: bool = False
+) -> str:
+    """Shard pages round-robin into n_segments .warc[.gz] files (the CC
+    layout: parallelism comes from segment count, not intra-file splits)."""
     os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.gz" if compress else "warc"
     for s in range(n_segments):
         write_warc(
             [p for i, p in enumerate(pages) if i % n_segments == s],
-            os.path.join(out_dir, f"segment-{s:05d}.warc"),
+            os.path.join(out_dir, f"segment-{s:05d}.{ext}"),
+            compress=compress,
         )
     return out_dir
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (one per record)."""
+    out = []
+    pos, n = 0, len(blob)
+    while pos < n:
+        d = _zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        out.append(d.decompress(blob[pos:]))
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:  # pragma: no cover - corrupt stream guard
+            raise ValueError(f"gzip member made no progress at byte {pos}")
+        pos += consumed
+    return b"".join(out)
 
 
 def parse_warc_bytes(blob: bytes, strict: bool = True):
@@ -136,14 +170,17 @@ def read_warc(spark: SparkSession, warc_dir: str, strict: bool = True) -> DataFr
     segment files ARE the partitions, so parallelism = segment count — the
     same contract Common Crawl's own layout gives every consumer."""
     raw = spark.read.format("binaryFile").load(
-        os.path.join(warc_dir, "*.warc")
+        os.path.join(warc_dir, "*.warc*")
     ).select("content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls, tss, htmls = [], [], []
             for blob in pdf["content"]:
-                for url, ts, html in parse_warc_bytes(bytes(blob), strict=strict):
+                blob = bytes(blob)
+                if blob[:2] == b"\x1f\x8b":  # gzip magic → member-per-record
+                    blob = _gunzip_members(blob)
+                for url, ts, html in parse_warc_bytes(blob, strict=strict):
                     urls.append(url)
                     tss.append(ts)
                     htmls.append(html)

@@ -90,3 +90,39 @@ def test_non_response_records_filtered(tmp_path):
     blob = open(path, "rb").read() + open(write_warc(pages, path + "2"), "rb").read()
     got = list(parse_warc_bytes(blob))
     assert [u for u, _, _ in got] == ["https://x/2"]
+
+
+def test_gzip_member_roundtrip(spark, tmp_path):
+    """.warc.gz segments (one gzip member per record, the Common Crawl
+    wire format) roundtrip identically to plain segments."""
+    pages = make_pages(40, seed=42)
+    d = str(tmp_path / "warcgz")
+    write_warc_dir(pages, d, n_segments=3, compress=True)
+    import glob as _glob
+
+    assert _glob.glob(d + "/*.warc.gz") and not _glob.glob(d + "/*.warc")
+    got = {
+        r["url"]: bytes(r["html"]) for r in read_warc(spark, d).collect()
+    }
+    assert len(got) == 40
+    for p in pages:
+        assert got[p["url"]] == (p["html"] or b"")
+
+
+def test_gzip_members_are_independent(tmp_path):
+    """Each record must be its own gzip member (streamable member-by-member),
+    not one stream over the whole segment."""
+    import zlib
+
+    pages = _adversarial_pages()
+    path = str(tmp_path / "seg.warc.gz")
+    write_warc(pages, path, compress=True)
+    blob = open(path, "rb").read()
+    members = 0
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(blob[pos:])
+        pos = len(blob) - len(d.unused_data)
+        members += 1
+    assert members == len(pages)
