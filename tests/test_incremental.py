@@ -194,3 +194,43 @@ def test_refresh_rejects_legacy_index_pointer(spark, snapshots, tmp_path):
         f.write(version)  # strip the metadata lines, as an old writer would
     with pytest.raises(ValueError, match="no layout metadata"):
         refresh_extract(spark, snap1, out, n_parts=N_PARTS)
+
+
+def test_compaction_reduces_files_preserves_rows(spark, snapshots, tmp_path):
+    """Compaction merges fragmented partition files, preserves every row
+    byte-for-byte, is idempotent, and leaves the refresh/resume machinery
+    consistent (a follow-up no-op refresh still sees zero changes)."""
+    from greenocr_spark.plans.compact import _partition_files, compact_extracted
+
+    d, _, _ = snapshots
+    out = str(tmp_path / "out")
+    snap1 = spark.read.parquet(str(d / "snap1.parquet"))
+    refresh_extract(spark, snap1, out, n_parts=N_PARTS)
+
+    # fragment the table: rewrite with many tasks per hive partition
+    ext = f"{out}/extracted"
+    frag = spark.read.parquet(ext).repartition(24)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    frag.write.mode("overwrite").partitionBy("part_id").parquet(ext)
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(ext).drop("part_id").collect()
+    )
+    files0 = sum(len(f) for f in _partition_files(ext).values())
+    assert files0 > N_PARTS  # genuinely fragmented
+
+    stats = compact_extracted(spark, out, min_files=2)
+    assert stats["n_parts_compacted"] > 0
+    assert stats["files_after"] < files0
+    after = _partition_files(ext)
+    assert all(len(f) == 1 for f in after.values())  # small partitions: 1 file
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(ext).drop("part_id").collect()
+    )
+    assert after_rows == before_rows
+
+    # idempotent second run
+    stats2 = compact_extracted(spark, out, min_files=2)
+    assert stats2["n_parts_compacted"] == 0
+    # refresh still consistent (index untouched by compaction)
+    stats3 = refresh_extract(spark, snap1, out, n_parts=N_PARTS)
+    assert stats3["n_new_or_changed"] == 0
