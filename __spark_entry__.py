@@ -54,6 +54,7 @@ _ROUND3_PRIORITY = [
     "ex1_extract_wrapped",
     # new round-3 operators (first driver evidence)
     "ex5_warc_corpus_hash",
+    "ex6_host_report",
     "tx7_repetition_ratio",
     "w11_islands",
     "pg1_paragraph_dedup",

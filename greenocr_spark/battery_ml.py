@@ -1520,6 +1520,51 @@ _WRAP_ORACLE = """
 """
 
 
+@q(
+    "ex6_host_report",
+    """WITH e AS (
+        SELECT source || '.example.com' AS host,
+               CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) >= 15
+                    THEN regexp_replace(trim(text), '\\s+', ' ', 'g') ELSE '' END AS t
+        FROM documents)
+    SELECT host, count(*) AS n_docs,
+           CAST(sum(length(t)) AS BIGINT) AS text_chars,
+           CAST(sum(CASE WHEN t = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+    FROM e GROUP BY host""",
+)
+def ex6_host_report(spark, sf_dir):
+    # Crawl-ops observability: per-host extraction rollup (docs, extracted
+    # bytes, empty-extraction count) over the full pipeline — the report a
+    # crawl operator watches to spot hosts whose markup defeats extraction.
+    # Runs the real extract stage on ex1's wrapped pages, then one groupBy
+    # on the parsed host; the oracle is the closed form ex1's wrapper
+    # guarantees. At 10^12 rows this is the map-side-combined host rollup
+    # (#hosts << #rows), the same shape as the salting stats pass.
+    from greenocr_spark.functions.sqlfns import host_expr
+    from greenocr_spark.operators.extract import extract_pages
+
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title></head><body>'
+            '<nav><a href="/">Home</a> <a href="/about">About</a></nav><p>'
+        ),
+        F.col("text"),
+        F.lit('</p><footer><a href="/terms">Terms</a></footer></body></html>'),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    ext = extract_pages(pages).withColumn("host", host_expr("url"))
+    return ext.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+        F.sum(F.when(F.col("text") == "", 1).otherwise(0)).cast("long").alias("n_empty"),
+    )
+
+
 @q("ex1_extract_wrapped", _WRAP_ORACLE)
 def ex1_extract_wrapped(spark, sf_dir):
     # THE flagship, value-checked end to end: wrap each document in a
