@@ -55,6 +55,8 @@ _ROUND3_PRIORITY = [
     # new round-3 operators (first driver evidence)
     "ex5_warc_corpus_hash",
     "ex6_host_report",
+    "st8_stream_warc_hash",
+    "pipe2_neardup_removal",
     "tx7_repetition_ratio",
     "w11_islands",
     "pg1_paragraph_dedup",

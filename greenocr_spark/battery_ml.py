@@ -257,6 +257,43 @@ def dd8_dup_clusters(spark, sf_dir):
 
 
 @q(
+    "pipe2_neardup_removal",
+    f"""WITH RECURSIVE
+    sig AS ({_MINHASH_ORACLE_SIG}),
+    bands AS (
+        SELECT doc_id, i AS band, {_band_case_sql()} AS bkey
+        FROM sig, unnest([{", ".join(str(b) for b in range(_N_BANDS))}]) AS u(i)),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                       AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+           FROM reach GROUP BY s)
+    SELECT d.doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id""",
+)
+def pipe2_neardup_removal(spark, sf_dir):
+    # The COMPOSED near-dup removal pipeline a curation run actually
+    # executes: MinHash signatures → LSH banded candidate pairs (dd3) →
+    # distributed connected components (dd8's kernel) → keep each
+    # cluster's min doc_id plus every unclustered doc. The survivor set is
+    # the corpus fed to training. Left-anti against the small non-survivor
+    # side; at 10^12 rows the cluster table is ≪ the corpus (only docs in
+    # some candidate pair), so the final join broadcasts.
+    clusters = _connected_components(dd3_minhash_band_pairs(spark, sf_dir))
+    losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(F.broadcast(losers), "doc_id", "left_anti")
+    )
+
+
+@q(
     "dd9_editdist_verify",
     f"""WITH sig AS ({_MINHASH_ORACLE_SIG}),
     bands AS (
@@ -1671,6 +1708,40 @@ def _corpus_hash_reduce(ext):
     return ext.select(row_h.alias("h")).agg(
         F.bit_xor("h").alias("corpus_hash"), F.count("*").alias("n_docs")
     )
+
+
+@q(
+    "st8_stream_warc_hash",
+    """SELECT CAST(1061150180202206482 AS BIGINT) AS corpus_hash,
+              CAST(1500 AS BIGINT) AS n_docs""",
+)
+def st8_stream_warc_hash(spark, sf_dir):
+    # §2.10 × WARC: the streaming ingestion face over a WARC-drop directory
+    # (stream_warc → extract_pages → xor-hash agg, availableNow drain).
+    # Third independent execution path — batch-parquet (ex4), batch-WARC
+    # (ex5), STREAMING-WARC (this) — all required to land on the same
+    # frozen pure-Python golden literal. mapInPandas and the extraction
+    # stage run unmodified under Structured Streaming because every stage
+    # is a pure DataFrame→DataFrame function.
+    import tempfile
+    import uuid as _uuid
+
+    from greenocr_spark.operators.extract import extract_pages
+    from greenocr_spark.sources.warc import stream_warc
+
+    pages = stream_warc(spark, _fixture_warc_dir(1500)).select("url", "html")
+    hashed = _corpus_hash_reduce(extract_pages(pages))
+    name = f"st8_{_uuid.uuid4().hex[:8]}"
+    qh = (
+        hashed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st8_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(180)
+    return spark.table(name)
 
 
 def _fixture_warc_dir(n: int) -> str:

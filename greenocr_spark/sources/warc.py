@@ -172,7 +172,28 @@ def read_warc(spark: SparkSession, warc_dir: str, strict: bool = True) -> DataFr
     raw = spark.read.format("binaryFile").load(
         os.path.join(warc_dir, "*.warc*")
     ).select("content")
+    return raw.mapInPandas(_segment_parser(strict), schema=PAGES_SCHEMA)
 
+
+def stream_warc(spark: SparkSession, warc_dir: str, strict: bool = True) -> DataFrame:
+    """Streaming twin of read_warc: a WARC-drop directory as a Structured
+    Streaming source (new segments picked up per micro-batch — the
+    crawl-delivery ingestion face). Identical parse path; the batch
+    pipeline IS the streaming pipeline."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source's fixed schema must be stated explicitly in
+        # streaming mode (no inference before the stream starts)
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .load(os.path.join(warc_dir, "*.warc*"))
+        .select("content")
+    )
+    return raw.mapInPandas(_segment_parser(strict), schema=PAGES_SCHEMA)
+
+
+def _segment_parser(strict: bool):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls, tss, htmls = [], [], []
@@ -186,4 +207,4 @@ def read_warc(spark: SparkSession, warc_dir: str, strict: bool = True) -> DataFr
                     htmls.append(html)
             yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
 
-    return raw.mapInPandas(run, schema=PAGES_SCHEMA)
+    return run
