@@ -57,6 +57,7 @@ _ROUND3_PRIORITY = [
     "ex6_host_report",
     "st8_stream_warc_hash",
     "pipe2_neardup_removal",
+    "tx8_bigram_lm_score",
     "tx7_repetition_ratio",
     "w11_islands",
     "pg1_paragraph_dedup",

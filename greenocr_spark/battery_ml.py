@@ -1185,6 +1185,60 @@ def w11_islands(spark, sf_dir):
 
 
 @q(
+    "tx8_bigram_lm_score",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS big,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1
+          FROM w WHERE len(ws) >= 2),
+    c2 AS (SELECT big, count(*) AS n2 FROM b GROUP BY big),
+    c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY w1),
+    s AS (SELECT doc_id, ((n2 - 1) * 10000) // n1 AS sc
+          FROM b JOIN c2 USING (big) JOIN c1 USING (w1))
+    SELECT doc_id, CAST(sum(sc) // count(*) AS BIGINT) AS lm_score,
+           count(*) AS n_bigrams
+    FROM s GROUP BY doc_id""",
+)
+def tx8_bigram_lm_score(spark, sf_dir):
+    # CCNet-style LM quality filter, self-trained on the corpus itself:
+    # score(doc) = mean over its word bigrams of the LEAVE-ONE-OUT
+    # conditional probability (c(w1w2)-1)/c(w1·) — each occurrence is
+    # scored by the evidence from the REST of the corpus, so a gibberish
+    # doc of corpus-unique bigrams scores 0 rather than trivially certain.
+    # Low scores flag unnatural word sequences (spam, gibberish, mangled
+    # extraction). All arithmetic is
+    # INTEGER (P scaled by 1e4, integral division) so both engines agree
+    # bit-for-bit regardless of summation order — no transcendental or
+    # float-accumulation divergence. Scale shape: the "train" pass is two
+    # map-side-combined counts over exploded bigrams (vocab ≪ corpus);
+    # "apply" is two equi-joins of occurrences against those counts, then
+    # one groupBy(doc). The count tables are vocabulary-sized — at 10^12
+    # docs, still joinable (and cappable to top-K with unigram backoff).
+    ws = _spark_words()
+    big = F.transform(
+        F.slice(ws, 1, F.size(ws) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(ws, i + 2)),
+    )
+    b = (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(ws) >= 2)
+        .select("doc_id", F.explode(big).alias("big"))
+        .withColumn("w1", F.split("big", " ").getItem(0))
+    )
+    c2 = b.groupBy("big").agg(F.count("*").alias("n2"))
+    c1 = b.groupBy("w1").agg(F.count("*").alias("n1"))
+    s = (
+        b.join(c2, "big")
+        .join(c1, "w1")
+        .select("doc_id", F.expr("((n2 - 1) * 10000) div n1").alias("sc"))
+    )
+    return s.groupBy("doc_id").agg(
+        F.expr("sum(sc) div count(*)").alias("lm_score"),
+        F.count("*").alias("n_bigrams"),
+    )
+
+
+@q(
     "pg1_paragraph_dedup",
     f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
     c0 AS (SELECT doc_id,

@@ -330,3 +330,28 @@ def test_w11_islands_runs(spark, tmp_path):
         for r in b.REGISTRY["w11_islands"][0](spark, str(tmp_path)).collect()
     )
     assert got == [(1, "A", 2), (2, "B", 1), (3, "A", 1)]
+
+
+def test_tx8_lm_scores_discriminate(spark, tmp_path):
+    """Self-trained bigram LM: documents made of corpus-frequent bigrams
+    must outscore a gibberish document of corpus-unique bigrams."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    common = [(i, "the cat sat on the mat") for i in range(9)]
+    rows = common + [(99, "zq xv wk pj rn bl")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r["lm_score"]
+        for r in b.REGISTRY["tx8_bigram_lm_score"][0](spark, str(tmp_path)).collect()
+    }
+    assert got[0] > got[99]
+    # leave-one-out: every gibberish bigram has zero support from the rest
+    # of the corpus -> exactly 0
+    assert got[99] == 0
+    # common docs: each "the cat" occurrence has 8 sibling occurrences over
+    # 18 'the'-prefixed bigrams -> floor(8e4/18) = 4444 for both bigram
+    # types of the sentence; mean stays strictly inside (0, 1e4)
+    assert 0 < got[0] < 10000
