@@ -141,3 +141,32 @@ def test_no_python_row_udfs_anywhere(spark):
         fn, _ = reg[name]
         p = plan_of(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in p, name
+
+
+def test_tx7_url2_narrow_no_exchange(spark):
+    # pure array-lambda / regexp projections: zero shuffles
+    for name in ("tx7_repetition_ratio", "url2_canonicalize"):
+        p = plan_of(_q(spark, name))
+        assert "Exchange" not in p, name
+
+
+def test_pg1_dedup_no_allpairs(spark):
+    # chunk dedup: groupBy md5 + semi-join + reassembly — never a cartesian
+    p = plan_of(_q(spark, "pg1_paragraph_dedup"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_min" in p  # winner pick combines map-side
+
+
+def test_pipe2_losers_broadcast(spark):
+    # survivor anti-join: the clustered-doc side broadcasts, the corpus
+    # never shuffles for it
+    p = plan_of(_q(spark, "pipe2_neardup_removal"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_tx8_counts_partial_agg(spark):
+    # LM train pass: both count tables build with map-side partials
+    p = plan_of(_q(spark, "tx8_bigram_lm_score"))
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
