@@ -1193,7 +1193,7 @@ def w11_islands(spark, sf_dir):
           FROM w WHERE len(ws) >= 2),
     c2 AS (SELECT big, count(*) AS n2 FROM b GROUP BY big),
     c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY w1),
-    s AS (SELECT doc_id, ((n2 - 1) * 10000) // n1 AS sc
+    s AS (SELECT doc_id, (least(n2 - 1, 920000000000000) * 10000) // n1 AS sc
           FROM b JOIN c2 USING (big) JOIN c1 USING (w1))
     SELECT doc_id, CAST(sum(sc) // count(*) AS BIGINT) AS lm_score,
            count(*) AS n_bigrams
@@ -1230,7 +1230,15 @@ def tx8_bigram_lm_score(spark, sf_dir):
     s = (
         b.join(c2, "big")
         .join(c1, "w1")
-        .select("doc_id", F.expr("((n2 - 1) * 10000) div n1").alias("sc"))
+        # the 9.2e14 cap keeps (n2-1)*1e4 inside int64 even for a stopword
+        # bigram at 10^15-occurrence scale (Spark would wrap silently,
+        # DuckDB would error — capped, both stay exact and identical; a
+        # score saturating at the cap is indistinguishable from certainty
+        # anyway at that frequency)
+        .select(
+            "doc_id",
+            F.expr("(least(n2 - 1, 920000000000000) * 10000) div n1").alias("sc"),
+        )
     )
     return s.groupBy("doc_id").agg(
         F.expr("sum(sc) div count(*)").alias("lm_score"),
@@ -1249,11 +1257,13 @@ def tx8_bigram_lm_score(spark, sf_dir):
     c AS (SELECT doc_id, unnest(chunks) AS chunk,
                  unnest(range(len(chunks))) AS pos
           FROM c0),
-    keyed AS (SELECT doc_id, pos, chunk, md5(chunk) AS h,
-                     doc_id * 100000 + pos AS ord FROM c),
-    win AS (SELECT h, min(ord) AS ord FROM keyed GROUP BY h),
+    keyed AS (SELECT doc_id, pos, chunk, md5(chunk) AS h FROM c),
+    win AS (SELECT h, struct_extract(w, 'd') AS doc_id,
+                   struct_extract(w, 'p') AS pos
+            FROM (SELECT h, min(struct_pack(d := doc_id, p := pos)) AS w
+                  FROM keyed GROUP BY h)),
     kept AS (SELECT keyed.doc_id, keyed.pos, keyed.chunk
-             FROM keyed JOIN win USING (h, ord))
+             FROM keyed JOIN win USING (h, doc_id, pos))
     SELECT doc_id,
            string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
            count(*) AS n_kept
@@ -1263,12 +1273,14 @@ def pg1_paragraph_dedup(spark, sf_dir):
     # CCNet/RefinedWeb-style sub-document dedup: split every document into
     # fixed token chunks (3 tokens here so the tiny fixture vocabulary
     # actually collides; the paragraph-hash shape is chunk-size-agnostic),
-    # keep only the FIRST occurrence of each chunk corpus-wide (min
-    # (doc_id,pos), encoded as doc_id*1e5+pos), and reassemble each
-    # document's surviving chunks in order. Scale shape: one narrow explode,
-    # one shuffle on the chunk md5 (never the raw string), a semi-join back
-    # on (hash, winner-ord), one groupBy(doc_id) reassembly — no step is
-    # ever all-pairs, and map-side partial min cuts the first shuffle.
+    # keep only the FIRST occurrence of each chunk corpus-wide — the winner
+    # is min(struct(doc_id, pos)), lexicographic in BOTH engines, so no
+    # integer encoding (and no encoding-collision bound on doc size or
+    # corpus size) — and reassemble each document's surviving chunks in
+    # order. Scale shape: one narrow explode, one shuffle on the chunk md5
+    # (never the raw string), a semi-join back on (hash, winner doc, pos),
+    # one groupBy(doc_id) reassembly — no step is ever all-pairs, and
+    # map-side partial min cuts the first shuffle.
     ws = _spark_words()
     n_chunks = F.ceil(F.size(ws) / F.lit(3.0)).cast("int")
     chunks = F.transform(
@@ -1279,10 +1291,13 @@ def pg1_paragraph_dedup(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
         .withColumn("h", F.md5("chunk"))
-        .withColumn("ord", F.col("doc_id") * 100000 + F.col("pos"))
     )
-    win = c.groupBy("h").agg(F.min("ord").alias("ord"))
-    kept = c.join(win, ["h", "ord"], "left_semi")
+    win = (
+        c.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select("h", F.col("w.doc_id").alias("doc_id"), F.col("w.pos").alias("pos"))
+    )
+    kept = c.join(win, ["h", "doc_id", "pos"], "left_semi")
     return kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -1603,6 +1618,26 @@ def mm1_binary_meta(spark, sf_dir):
 # Flagship extraction queries
 # =========================================================================
 
+def _wrapped_pages(d):
+    """Wrap each document in the canonical boilerplate-laden page whose
+    extraction has the closed-form oracle _WRAP_ORACLE (and the host
+    closed form of ex6). ONE definition — ex1 and ex6's oracles are only
+    valid against this exact byte sequence."""
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title></head><body>'
+            '<nav><a href="/">Home</a> <a href="/about">About</a></nav><p>'
+        ),
+        F.col("text"),
+        F.lit('</p><footer><a href="/terms">Terms</a></footer></body></html>'),
+    )
+    return d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
 _WRAP_ORACLE = """
     SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
            CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) >= 15
@@ -1634,20 +1669,7 @@ def ex6_host_report(spark, sf_dir):
     from greenocr_spark.functions.sqlfns import host_expr
     from greenocr_spark.operators.extract import extract_pages
 
-    d = t(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
-        F.col("doc_id").cast("string"),
-    )
-    html = F.concat(
-        F.lit(
-            '<html><head><title>Doc</title></head><body>'
-            '<nav><a href="/">Home</a> <a href="/about">About</a></nav><p>'
-        ),
-        F.col("text"),
-        F.lit('</p><footer><a href="/terms">Terms</a></footer></body></html>'),
-    )
-    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    pages = _wrapped_pages(t(spark, sf_dir, "documents"))
     ext = extract_pages(pages).withColumn("host", host_expr("url"))
     return ext.groupBy("host").agg(
         F.count("*").alias("n_docs"),
@@ -1665,20 +1687,7 @@ def ex1_extract_wrapped(spark, sf_dir):
     # extracted text == canonical main paragraph.
     from greenocr_spark.operators.extract import extract_pages
 
-    d = t(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
-        F.col("doc_id").cast("string"),
-    )
-    html = F.concat(
-        F.lit(
-            '<html><head><title>Doc</title></head><body>'
-            '<nav><a href="/">Home</a> <a href="/about">About</a></nav><p>'
-        ),
-        F.col("text"),
-        F.lit('</p><footer><a href="/terms">Terms</a></footer></body></html>'),
-    )
-    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    pages = _wrapped_pages(t(spark, sf_dir, "documents"))
     return extract_pages(pages).select("url", "text")
 
 
@@ -1794,20 +1803,34 @@ def st8_stream_warc_hash(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    qh.awaitTermination(180)
+    if not qh.awaitTermination(600):
+        # never fall through to the sink on timeout: an empty/partial
+        # memory table would masquerade as a hash mismatch while the
+        # abandoned query kept running
+        qh.stop()
+        raise TimeoutError("st8 streaming drain did not finish within 600s")
     return spark.table(name)
 
 
 def _fixture_warc_dir(n: int) -> str:
+    # build into a private temp dir, then publish by atomic rename — two
+    # concurrent processes can never observe (or truncate) half-written
+    # segments; the loser's rename simply fails and it uses the winner's
     d = f"/tmp/greenocr_fixture_warc_{n}"
-    done = os.path.join(d, "_COMPLETE")
-    if not os.path.exists(done):
+    if not os.path.isdir(d):
+        import uuid as _uuid
+
         from greenocr_spark.fixtures import make_pages
         from greenocr_spark.sources.warc import write_warc_dir
 
-        write_warc_dir(make_pages(n, seed=42), d, n_segments=8)
-        with open(done, "w") as f:
-            f.write("ok")
+        tmp = f"{d}.build_{_uuid.uuid4().hex[:8]}"
+        write_warc_dir(make_pages(n, seed=42), tmp, n_segments=8)
+        try:
+            os.rename(tmp, d)
+        except OSError:  # lost the publish race — winner's dir is complete
+            import shutil as _shutil
+
+            _shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 

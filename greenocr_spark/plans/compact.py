@@ -62,14 +62,30 @@ def compact_extracted(
     min_files: int = 2,
 ) -> dict:
     """Compact fragmented partitions of `out_dir`/extracted. Returns stats
-    {n_parts_compacted, files_before, files_after}. Idempotent: a second
-    call is a no-op. Safe to run any time — rows are preserved exactly and
-    the manifest is partition-grained, so it needs no update."""
+    {n_parts_compacted, files_before, files_after}.
+
+    A partition is picked only when it holds >= min_files files SMALLER
+    than target_bytes/2 — partitions already made of target-sized files
+    are never rewritten, which is what makes repeated maintenance runs
+    no-ops (Iceberg's rewrite_data_files uses the same small-file
+    criterion). Each picked partition is rewritten into
+    ceil(bytes/target_bytes) output files: rows are bucketed by a per-
+    partition url-hash salt (one staging task ≈ one target of bytes, so
+    big partitions compact in parallel), and the final read from staging
+    is split at target_bytes so each task emits one ~target-sized file.
+    Rows are preserved exactly and the manifest is partition-grained, so
+    it needs no update."""
+    from pyspark.sql import functions as F
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     ext_dir = _extracted_dir(out_dir)
     parts = _partition_files(ext_dir)
+    small_cut = max(target_bytes // 2, 1)
     picked = {
-        pid: files for pid, files in parts.items() if len(files) >= min_files
+        pid: files
+        for pid, files in parts.items()
+        if len(files) >= min_files
+        and sum(1 for f in files if os.path.getsize(f) < small_cut) >= min_files
     }
     files_before = sum(len(f) for f in parts.values())
     if not picked:
@@ -79,32 +95,36 @@ def compact_extracted(
             "files_after": files_before,
         }
 
+    sizes = {
+        pid: sum(os.path.getsize(f) for f in files)
+        for pid, files in picked.items()
+    }
+    ks = {pid: max(1, math.ceil(s / target_bytes)) for pid, s in sizes.items()}
     staging = os.path.join(out_dir, f"_staging_compact_{uuid.uuid4().hex[:8]}")
+    old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         # partition-pruned scan: the IN-list is ≤ n_parts literals
         df = spark.read.parquet(ext_dir).filter(
             f"part_id in ({','.join(str(p) for p in sorted(picked))})"
         )
-        # one output file per target_bytes of input, per partition: write
-        # repartitioned by part_id with per-partition file count driven by
-        # maxRecordsPerFile-style sizing. Coalescing ACROSS partitions is
-        # wrong (a task would hold rows of several part_ids and dynamic
-        # overwrite would still split them), so repartition on part_id and
-        # let each task stream one partition into few files.
-        sizes = {
-            pid: sum(os.path.getsize(f) for f in files)
-            for pid, files in picked.items()
-        }
-        n_out = max(
-            1,
-            sum(max(1, math.ceil(s / target_bytes)) for s in sizes.values()),
+        k_map = F.create_map(
+            *[x for pid, k in sorted(ks.items()) for x in (F.lit(pid), F.lit(k))]
         )
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64("url"), k_map[F.col("part_id")])
+        )
+        n_out = sum(ks.values())
         (
-            df.repartition(n_out, "part_id")
+            salted.repartition(n_out, "part_id", "_salt")
             .sortWithinPartitions("url")
+            .drop("_salt")
             .write.mode("overwrite")
             .parquet(staging)
         )
+        # staging files are single-part_id (the repartition key starts with
+        # part_id); splitting the re-read at target_bytes makes each final
+        # task ≈ one ~target-sized output file in its partition dir
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(target_bytes))
         (
             spark.read.parquet(staging)
             .write.mode("overwrite")
@@ -112,6 +132,7 @@ def compact_extracted(
             .parquet(ext_dir)
         )
     finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
         shutil.rmtree(staging, ignore_errors=True)
 
     after = _partition_files(ext_dir)

@@ -9,22 +9,23 @@ from __future__ import annotations
 import os
 import sys
 
-import duckdb
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
-
-
-from tests.oracle_compare import driver_canon_hash as _canon  # noqa: E402
+from tests.oracle_compare import (  # noqa: E402
+    driver_canon_hash as _canon,
+    duck_connection,
+)
 
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    if args and (os.path.sep in args[0] or args[0].startswith("sf")):
+        sf_dir = args.pop(0)
+        if not os.path.isdir(sf_dir):
+            print(f"sf_dir does not exist: {sf_dir}", file=sys.stderr)
+            return 2
+    else:
+        sf_dir = "/root/testdata/sf0.01"
     run_all = "--all" in args
     args = [a for a in args if a != "--all"]
     names = args or (
@@ -47,13 +48,7 @@ def main() -> int:
     if names is None:
         names = [n for n, (_, sql) in b.REGISTRY.items() if sql is not None]
 
-    con = duckdb.connect()
-    for tbl in TABLES:
-        p = os.path.join(sf_dir, f"{tbl}.parquet")
-        if os.path.isdir(p):
-            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{p}/*.parquet')")
-        elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{p}')")
+    con = duck_connection(sf_dir)
 
     failed = []
     for name in names:

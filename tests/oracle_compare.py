@@ -15,11 +15,19 @@ TABLES = (
 
 
 def duck_connection(sf_dir: str):
+    """Views over the sf tables; handles both single-file parquet (the
+    driver's testdata layout) and Spark-written parquet directories."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
@@ -84,11 +92,14 @@ def compare(spark, sf_dir, spark_fn, sql, float_tol=0.0):
         # comparison surface — DuckDB HUGEINT materializes as float64
         # ("5.0" vs "5"), list cells crash sort_values. w9/arr2/f13/mm2
         # were all driver-red while this python-object check was green.
+        # This deliberately RE-EXECUTES both engines: only toPandas/fetchdf
+        # materialization reproduces those dtype artifacts (building a
+        # DataFrame from the already-fetched python objects would not), so
+        # the battery pays ~2x per query for driver fidelity.
+        con = duck_connection(sf_dir)
         try:
             s_hash = driver_canon_hash(sdf.toPandas())
-            con = duck_connection(sf_dir)
             d_hash = driver_canon_hash(con.execute(sql).fetchdf())
-            con.close()
         except Exception as e:
             problems.append(f"driver canonicalizer would crash: {e!r}")
         else:
@@ -98,6 +109,8 @@ def compare(spark, sf_dir, spark_fn, sql, float_tol=0.0):
                     "a pandas dtype artifact — check integer aggregates for "
                     "missing CASTs)"
                 )
+        finally:
+            con.close()
     return problems
 
 

@@ -231,6 +231,10 @@ def test_compaction_reduces_files_preserves_rows(spark, snapshots, tmp_path):
     # idempotent second run
     stats2 = compact_extracted(spark, out, min_files=2)
     assert stats2["n_parts_compacted"] == 0
+    # partitions made of files already at/above target size are never
+    # picked, however many there are (the large-partition idempotence rule)
+    stats_big = compact_extracted(spark, out, target_bytes=1, min_files=1)
+    assert stats_big["n_parts_compacted"] == 0
     # refresh still consistent (index untouched by compaction)
     stats3 = refresh_extract(spark, snap1, out, n_parts=N_PARTS)
     assert stats3["n_new_or_changed"] == 0
