@@ -85,6 +85,10 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict:
         "dd5_simhash": from_reg("dd5_simhash"),
         "ann1_cosine_topk": from_reg("ann1_cosine_topk"),
         "f19_json_extract": from_reg("f19_json_extract"),
+        # round-3 additions: corpus-wide chunk dedup (explode + 2-shuffle
+        # semi-join shape) and the self-trained bigram LM (train+apply)
+        "pg1_paragraph_dedup": from_reg("pg1_paragraph_dedup"),
+        "tx8_bigram_lm_score": from_reg("tx8_bigram_lm_score"),
     }
 
 

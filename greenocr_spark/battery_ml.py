@@ -1224,9 +1224,15 @@ def tx8_bigram_lm_score(spark, sf_dir):
         .filter(F.size(ws) >= 2)
         .select("doc_id", F.explode(big).alias("big"))
         .withColumn("w1", F.split("big", " ").getItem(0))
+        # collapse repeated within-doc occurrences BEFORE the joins: the
+        # join input shrinks from one row per occurrence to one per
+        # (doc, bigram type); the weighted form below gives the identical
+        # integer score, so the (unweighted-looking) oracle still matches
+        .groupBy("doc_id", "big", "w1")
+        .agg(F.count("*").alias("c"))
     )
-    c2 = b.groupBy("big").agg(F.count("*").alias("n2"))
-    c1 = b.groupBy("w1").agg(F.count("*").alias("n1"))
+    c2 = b.groupBy("big").agg(F.sum("c").alias("n2"))
+    c1 = b.groupBy("w1").agg(F.sum("c").alias("n1"))
     s = (
         b.join(c2, "big")
         .join(c1, "w1")
@@ -1237,12 +1243,13 @@ def tx8_bigram_lm_score(spark, sf_dir):
         # anyway at that frequency)
         .select(
             "doc_id",
+            "c",
             F.expr("(least(n2 - 1, 920000000000000) * 10000) div n1").alias("sc"),
         )
     )
     return s.groupBy("doc_id").agg(
-        F.expr("sum(sc) div count(*)").alias("lm_score"),
-        F.count("*").alias("n_bigrams"),
+        F.expr("sum(sc * c) div sum(c)").alias("lm_score"),
+        F.sum("c").alias("n_bigrams"),
     )
 
 
