@@ -62,6 +62,9 @@ _ROUND3_PRIORITY = [
     "w11_islands",
     "pg1_paragraph_dedup",
     "url2_canonicalize",
+    "dec1_decontaminate",
+    "scrub1_pii_redact",
+    "mix1_source_mix_weights",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

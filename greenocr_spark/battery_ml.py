@@ -1595,6 +1595,131 @@ def udtf1_token_positions(spark, sf_dir):
     )
 
 
+@q(
+    "dec1_decontaminate",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(len(ws) - 2),
+                        i -> md5(array_to_string(ws[i + 1 : i + 3], ' ')))) AS gh
+          FROM w WHERE len(ws) >= 3),
+    ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 97 <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY doc_id)
+    SELECT tr.doc_id, count(*) AS n_overlap, min(tot.n_ngrams) AS n_ngrams
+    FROM tr JOIN ev USING (gh) JOIN tot USING (doc_id)
+    GROUP BY tr.doc_id HAVING count(*) >= 2""",
+)
+def dec1_decontaminate(spark, sf_dir):
+    # Benchmark decontamination (GPT-3 appx C / Pile style): flag training
+    # docs sharing word n-grams with a held-out eval set. Eval set here =
+    # docs with doc_id % 97 == 0 (deterministic stand-in for a benchmark
+    # suite); n=3 at this vocabulary — production uses 13-grams, one knob.
+    # Scale shape: the eval n-gram set is benchmark-sized (millions), so it
+    # BROADCASTS; the corpus side explodes to distinct (doc, gram-hash)
+    # pairs, hits the broadcast hash join (no corpus shuffle), and only the
+    # matched sliver reaches the groupBy(doc_id). Grams travel as md5
+    # hashes, never strings.
+    ws = _spark_words()
+    grams = F.expr(
+        "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2),"
+        " i -> md5(array_join(slice(split(trim(text), '\\\\s+'), i, 3), ' ')))"
+    )
+    g = (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(ws) >= 3)
+        .select("doc_id", F.explode(grams).alias("gh"))
+    )
+    ev = (
+        g.filter(F.col("doc_id") % 97 == 0)
+        .select("gh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = g.filter(F.col("doc_id") % 97 != 0).distinct()
+    # single pass over the training side: broadcast-left-join the eval set
+    # (hit flag), then one groupBy(doc) yields BOTH the overlap count and
+    # the per-doc gram total — no second corpus scan, no re-join
+    return (
+        tr.join(F.broadcast(ev), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+            F.count("*").alias("n_ngrams"),
+        )
+        .filter(F.col("n_overlap") >= 2)
+        .select("doc_id", "n_overlap", "n_ngrams")
+    )
+
+
+@q(
+    "scrub1_pii_redact",
+    r"""SELECT c_custkey,
+              regexp_replace(c_name, '\d+(\d{3})', '[ID-\1]', 'g')
+                  AS name_scrubbed,
+              len(regexp_extract_all(c_name, '\d{4,}')) AS n_redacted
+       FROM customer""",
+)
+def scrub1_pii_redact(spark, sf_dir):
+    # PII-style scrubbing: mask long digit runs (account/phone/SSN-like
+    # identifiers) keeping a 3-digit audit tail, plus a per-row redaction
+    # count for the compliance ledger. Pure regexp_replace/extract_all —
+    # narrow, JVM-side, whole-stage-codegen'd, zero shuffle; at 10^12 rows
+    # this is embarrassingly parallel and pushdown keeps only the two
+    # touched columns in the scan.
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", r"\d+(\d{3})", "[ID-$1]").alias(
+            "name_scrubbed"
+        ),
+        F.size(F.expr(r"regexp_extract_all(c_name, '\\d{4,}', 0)")).alias(
+            "n_redacted"
+        ),
+    )
+
+
+@q(
+    "mix1_source_mix_weights",
+    f"""WITH g AS (SELECT source, lang, count(*) AS n_docs,
+                         sum(len({_duck_words()})) AS n_tokens
+                  FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((sum(n_tokens) OVER ()) * 1000000
+                // (count(*) OVER () * n_tokens) AS BIGINT) AS weight_ppm
+    FROM g""",
+)
+def mix1_source_mix_weights(spark, sf_dir):
+    # Training-mixture reweighting: per (source, lang) token counts and the
+    # up/down-sampling weight (ppm) that equalizes token share across
+    # groups — the domain-mixing step before sampling a training corpus.
+    # One map-side-combined groupBy over the corpus; the window runs over
+    # the GROUP table (sources × langs — tiny), so the single-partition
+    # window is a non-issue at any corpus scale. Integer ppm arithmetic
+    # keeps both engines bit-identical.
+    g = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(_spark_words())).alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        g.withColumn("tot_tokens", F.sum("n_tokens").over(w))
+        .withColumn("n_groups", F.count("*").over(w))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("tot_tokens * 1000000 div (n_groups * n_tokens)").alias(
+                "weight_ppm"
+            ),
+        )
+    )
+
+
 # =========================================================================
 # Multimodal plumbing (binary payload → typed metadata; decode stubbed)
 # =========================================================================

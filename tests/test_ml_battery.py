@@ -355,3 +355,74 @@ def test_tx8_lm_scores_discriminate(spark, tmp_path):
     # 18 'the'-prefixed bigrams -> floor(8e4/18) = 4444 for both bigram
     # types of the sentence; mean stays strictly inside (0, 1e4)
     assert 0 < got[0] < 10000
+
+
+def test_dec1_flags_only_multi_overlap_train_docs(spark, tmp_path):
+    """Decontamination on hand-built docs: doc 0 (id%97==0) is the eval
+    set; doc 1 shares two of its 3-grams (flagged), doc 2 shares one
+    (below the >=2 threshold), doc 3 shares none."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = [
+        (0, "a b c d e"),    # eval: grams {a b c, b c d, c d e}
+        (1, "a b c d q"),    # hits: a b c + b c d -> flagged
+        (2, "a b c x y"),    # one hit -> not flagged
+        (3, "p q r s t"),    # no hits
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["n_ngrams"])
+        for r in b.REGISTRY["dec1_decontaminate"][0](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 3)}
+
+
+def test_scrub1_masks_long_digit_runs_with_audit_tail(spark, tmp_path):
+    """Redaction masks digit runs >=4 keeping a 3-digit tail, leaves short
+    runs alone, and counts redactions per row."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = [
+        (1, "Customer#000000042"),
+        (2, "Bob 123"),
+        (3, "acct 12345 pin 987654"),
+    ]
+    spark.createDataFrame(rows, "c_custkey long, c_name string").write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    got = {
+        r["c_custkey"]: (r["name_scrubbed"], r["n_redacted"])
+        for r in b.REGISTRY["scrub1_pii_redact"][0](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: ("Customer#[ID-042]", 1),
+        2: ("Bob 123", 0),
+        3: ("acct [ID-345] pin [ID-654]", 2),
+    }
+
+
+def test_mix1_weights_equalize_token_share(spark, tmp_path):
+    """Mixture reweighting: with groups holding 6 and 2 of 8 total tokens,
+    the uniform-target weights are 8e6/(2*6) and 8e6/(2*2) ppm."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = [
+        (0, "a b c", "s1", "en"),
+        (1, "d e f", "s1", "en"),
+        (2, "g h", "s2", "de"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["weight_ppm"])
+        for r in b.REGISTRY["mix1_source_mix_weights"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {("s1", "en"): (2, 6, 666666), ("s2", "de"): (1, 2, 2000000)}

@@ -170,3 +170,19 @@ def test_tx8_counts_partial_agg(spark):
     p = plan_of(_q(spark, "tx8_bigram_lm_score"))
     assert "partial_count" in p
     assert "CartesianProduct" not in p
+
+
+def test_dec1_eval_set_broadcasts(spark):
+    # decontamination: the benchmark n-gram set broadcasts; the corpus side
+    # never sort-merge-joins or nested-loops against it
+    p = plan_of(_q(spark, "dec1_decontaminate"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "NestedLoop" not in p
+
+
+def test_scrub1_narrow_pruned(spark):
+    # redaction is embarrassingly parallel: no exchange, and the scan reads
+    # only the two touched columns
+    p = plan_of(_q(spark, "scrub1_pii_redact"))
+    assert "Exchange" not in p
+    assert "struct<c_custkey:bigint,c_name:string>" in p
