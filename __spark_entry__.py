@@ -65,6 +65,7 @@ _ROUND3_PRIORITY = [
     "dec1_decontaminate",
     "scrub1_pii_redact",
     "mix1_source_mix_weights",
+    "ng1_dup_spans",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

@@ -89,6 +89,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict:
         # semi-join shape) and the self-trained bigram LM (train+apply)
         "pg1_paragraph_dedup": from_reg("pg1_paragraph_dedup"),
         "tx8_bigram_lm_score": from_reg("tx8_bigram_lm_score"),
+        # benchmark decontamination: broadcast eval-set n-gram join
+        "dec1_decontaminate": from_reg("dec1_decontaminate"),
     }
 
 

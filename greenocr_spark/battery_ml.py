@@ -1652,6 +1652,52 @@ def dec1_decontaminate(spark, sf_dir):
 
 
 @q(
+    "ng1_dup_spans",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(len(ws) - 2),
+                        i -> md5(array_to_string(ws[i + 1 : i + 3], ' ')))) AS gh
+          FROM w WHERE len(ws) >= 3),
+    c AS (SELECT gh, count(*) AS nd FROM g GROUP BY gh)
+    SELECT doc_id, count(*) AS n_spans,
+           count(*) FILTER (WHERE nd >= 2) AS n_shared
+    FROM g JOIN c USING (gh)
+    GROUP BY doc_id HAVING count(*) FILTER (WHERE nd >= 2) >= 1""",
+)
+def ng1_dup_spans(spark, sf_dir):
+    # Cross-document repeated-span detection — the sliding-window form of
+    # exact-substring dedup (Lee et al. 2021's suffix-array dedup at
+    # word-window granularity, which IS Spark-expressible): a span is
+    # shared if its n-gram window occurs in >= 2 distinct docs, at ANY
+    # alignment (unlike pg1's fixed chunks) and across docs (unlike tx7's
+    # within-doc rule). Scale shape: distinct (doc, span-hash) pairs →
+    # per-hash doc count → join back. Both the count agg and the join key
+    # on the same hash, so AQE reuses one exchange; no collect_list of doc
+    # ids (a stopword span at 10^12 docs would OOM any list aggregate).
+    ws = _spark_words()
+    grams = F.expr(
+        "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2),"
+        " i -> md5(array_join(slice(split(trim(text), '\\\\s+'), i, 3), ' ')))"
+    )
+    g = (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(ws) >= 3)
+        .select("doc_id", F.explode(grams).alias("gh"))
+        .distinct()
+    )
+    c = g.groupBy("gh").agg(F.count("*").alias("nd"))
+    return (
+        g.join(c, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.expr("count_if(nd >= 2)").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 1)
+    )
+
+
+@q(
     "scrub1_pii_redact",
     r"""SELECT c_custkey,
               regexp_replace(c_name, '\d+(\d{3})', '[ID-\1]', 'g')

@@ -426,3 +426,25 @@ def test_mix1_weights_equalize_token_share(spark, tmp_path):
         ).collect()
     }
     assert got == {("s1", "en"): (2, 6, 666666), ("s2", "de"): (1, 2, 2000000)}
+
+
+def test_ng1_detects_shared_spans_at_any_alignment(spark, tmp_path):
+    """Cross-doc span dedup: doc 1 repeats doc 0's 'b c d' window at a
+    DIFFERENT word offset (alignment-independent, unlike fixed chunks);
+    doc 2 shares nothing and is not reported."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = [
+        (0, "a b c d e"),   # spans: abc, bcd, cde
+        (1, "x b c d"),     # spans: xbc, bcd(shared, offset 1 vs 1... 2)
+        (2, "p q r s"),     # spans: pqr, qrs — unique
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_shared"])
+        for r in b.REGISTRY["ng1_dup_spans"][0](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (3, 1), 1: (2, 1)}
