@@ -36,6 +36,18 @@ def _duck_words(col="text"):
     return f"regexp_split_to_array(trim({col}), '\\s+')"
 
 
+def _spark_gram3_hashes(ws_col="ws"):
+    """md5 hashes of word 3-gram windows over an ALREADY-MATERIALIZED word
+    array column (select _spark_words() into a column first — referencing
+    the split expression inside the lambda would re-tokenize the text for
+    every window)."""
+    ws = F.col(ws_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, 3))),
+    )
+
+
 # =========================================================================
 # Deduplication
 # =========================================================================
@@ -1613,21 +1625,19 @@ def dec1_decontaminate(spark, sf_dir):
     # Benchmark decontamination (GPT-3 appx C / Pile style): flag training
     # docs sharing word n-grams with a held-out eval set. Eval set here =
     # docs with doc_id % 97 == 0 (deterministic stand-in for a benchmark
-    # suite); n=3 at this vocabulary — production uses 13-grams, one knob.
-    # Scale shape: the eval n-gram set is benchmark-sized (millions), so it
-    # BROADCASTS; the corpus side explodes to distinct (doc, gram-hash)
-    # pairs, hits the broadcast hash join (no corpus shuffle), and only the
-    # matched sliver reaches the groupBy(doc_id). Grams travel as md5
-    # hashes, never strings.
-    ws = _spark_words()
-    grams = F.expr(
-        "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2),"
-        " i -> md5(array_join(slice(split(trim(text), '\\\\s+'), i, 3), ' ')))"
-    )
+    # suite; in production it is a separate benchmark table, which also
+    # removes this fixture's second scan of documents); n=3 at this
+    # vocabulary — production uses 13-grams, one knob. Scale shape: the
+    # eval n-gram set is benchmark-sized (millions), so it BROADCASTS —
+    # the corpus side never shuffles for the join; the corpus then takes
+    # exactly ONE shuffle, on doc_id, where distinct-aggregation computes
+    # both the overlap and per-doc gram totals (map-side partial
+    # distinct). Grams travel as md5 hashes, never strings.
     g = (
         t(spark, sf_dir, "documents")
-        .filter(F.size(ws) >= 3)
-        .select("doc_id", F.explode(grams).alias("gh"))
+        .select("doc_id", _spark_words().alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(_spark_gram3_hashes()).alias("gh"))
     )
     ev = (
         g.filter(F.col("doc_id") % 97 == 0)
@@ -1635,16 +1645,15 @@ def dec1_decontaminate(spark, sf_dir):
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    tr = g.filter(F.col("doc_id") % 97 != 0).distinct()
-    # single pass over the training side: broadcast-left-join the eval set
-    # (hit flag), then one groupBy(doc) yields BOTH the overlap count and
-    # the per-doc gram total — no second corpus scan, no re-join
+    tr = g.filter(F.col("doc_id") % 97 != 0)
     return (
         tr.join(F.broadcast(ev), "gh", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
-            F.count("*").alias("n_ngrams"),
+            F.count_distinct(
+                F.when(F.col("hit") == 1, F.col("gh"))
+            ).alias("n_overlap"),
+            F.count_distinct("gh").alias("n_ngrams"),
         )
         .filter(F.col("n_overlap") >= 2)
         .select("doc_id", "n_overlap", "n_ngrams")
@@ -1674,15 +1683,11 @@ def ng1_dup_spans(spark, sf_dir):
     # per-hash doc count → join back. Both the count agg and the join key
     # on the same hash, so AQE reuses one exchange; no collect_list of doc
     # ids (a stopword span at 10^12 docs would OOM any list aggregate).
-    ws = _spark_words()
-    grams = F.expr(
-        "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2),"
-        " i -> md5(array_join(slice(split(trim(text), '\\\\s+'), i, 3), ' ')))"
-    )
     g = (
         t(spark, sf_dir, "documents")
-        .filter(F.size(ws) >= 3)
-        .select("doc_id", F.explode(grams).alias("gh"))
+        .select("doc_id", _spark_words().alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(_spark_gram3_hashes()).alias("gh"))
         .distinct()
     )
     c = g.groupBy("gh").agg(F.count("*").alias("nd"))
@@ -1730,8 +1735,9 @@ def scrub1_pii_redact(spark, sf_dir):
                          sum(len({_duck_words()})) AS n_tokens
                   FROM documents GROUP BY source, lang)
     SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST((sum(n_tokens) OVER ()) * 1000000
-                // (count(*) OVER () * n_tokens) AS BIGINT) AS weight_ppm
+           CAST(floor((1000000.0 * (sum(n_tokens) OVER ()))
+                      / (count(*) OVER () * n_tokens)) AS BIGINT)
+               AS weight_ppm
     FROM g""",
 )
 def mix1_source_mix_weights(spark, sf_dir):
@@ -1740,8 +1746,12 @@ def mix1_source_mix_weights(spark, sf_dir):
     # groups — the domain-mixing step before sampling a training corpus.
     # One map-side-combined groupBy over the corpus; the window runs over
     # the GROUP table (sources × langs — tiny), so the single-partition
-    # window is a non-issue at any corpus scale. Integer ppm arithmetic
-    # keeps both engines bit-identical.
+    # window is a non-issue at any corpus scale. The ppm is computed in
+    # DOUBLE with the identical operation order on both engines (same
+    # IEEE ops → bit-identical results); a pure-int64 numerator
+    # (tot_tokens * 1e6) would wrap Spark's BIGINT at ~9.2e12 total
+    # tokens — inside the 100-TB target — while DuckDB's HUGEINT would
+    # not: silent engine divergence.
     g = (
         t(spark, sf_dir, "documents")
         .groupBy("source", "lang")
@@ -1759,9 +1769,10 @@ def mix1_source_mix_weights(spark, sf_dir):
             "lang",
             "n_docs",
             "n_tokens",
-            F.expr("tot_tokens * 1000000 div (n_groups * n_tokens)").alias(
-                "weight_ppm"
-            ),
+            F.expr(
+                "CAST(floor((1000000.0 * tot_tokens)"
+                " / (n_groups * n_tokens)) AS BIGINT)"
+            ).alias("weight_ppm"),
         )
     )
 
