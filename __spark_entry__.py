@@ -66,6 +66,9 @@ _ROUND3_PRIORITY = [
     "scrub1_pii_redact",
     "mix1_source_mix_weights",
     "ng1_dup_spans",
+    "chk1_token_chunks",
+    "samp2_mixture_resample",
+    "tx9_rare_terms",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

@@ -1777,6 +1777,147 @@ def mix1_source_mix_weights(spark, sf_dir):
     )
 
 
+@q(
+    "samp2_mixture_resample",
+    f"""WITH g AS (SELECT source, lang, sum(len({_duck_words()})) AS n_tokens
+                  FROM documents GROUP BY source, lang),
+    w AS (SELECT source, lang,
+                 least(1000000,
+                       CAST(floor((1000000.0 * (sum(n_tokens) OVER ()))
+                                  / (count(*) OVER () * n_tokens)) AS BIGINT))
+                     AS keep_ppm
+          FROM g)
+    SELECT d.doc_id, d.source, d.lang, w.keep_ppm
+    FROM documents d JOIN w USING (source, lang)
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 5))
+               AS BIGINT) % 1000000 < w.keep_ppm""",
+)
+def samp2_mixture_resample(spark, sf_dir):
+    # Applies mix1's token-equalizing mixture weights as a deterministic
+    # downsample — the step that actually materializes the rebalanced
+    # training corpus. Weights capped at 1.0 (upsampling is a replication
+    # concern, not a filter); keep/drop decided by md5(doc_id) ppm so the
+    # sample is reproducible and engine-identical. The weight table is
+    # sources x langs (tiny) and broadcasts; the corpus pays one groupBy
+    # to learn the weights and a narrow filtered scan to apply them — no
+    # corpus-sized shuffle at any scale.
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.sum(F.size(_spark_words())).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    weights = (
+        g.withColumn("tot_tokens", F.sum("n_tokens").over(w))
+        .withColumn("n_groups", F.count("*").over(w))
+        .select(
+            "source",
+            "lang",
+            F.expr(
+                "least(1000000, CAST(floor((1000000.0 * tot_tokens)"
+                " / (n_groups * n_tokens)) AS BIGINT))"
+            ).alias("keep_ppm"),
+        )
+    )
+    ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return (
+        d.join(F.broadcast(weights), ["source", "lang"])
+        .filter(ppm < F.col("keep_ppm"))
+        .select("doc_id", "source", "lang", "keep_ppm")
+    )
+
+
+@q(
+    "chk1_token_chunks",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+    c AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 8.0) AS INT) AS n_chunks
+          FROM w WHERE len(ws) > 0)
+    SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+           array_to_string(ws[g*8+1 : g*8+8], ' ') AS chunk_text,
+           CAST(least(8, len(ws) - g*8) AS INT) AS n_tokens
+    FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(g)""",
+)
+def chk1_token_chunks(spark, sf_dir):
+    # Sequence packing: split each document's token stream into fixed-size
+    # chunks (here 8 tokens) with stable (doc_id, chunk_idx) addresses —
+    # the context-window packing step of LLM training-data prep. The word
+    # array is materialized ONCE per row; explode(sequence(...)) fans out
+    # to chunk starts and slice() reads the shared array — a narrow
+    # one-to-many projection, zero shuffles, embarrassingly parallel at
+    # 10^12 docs. Chunk counts are data-derived, so no padding rows exist
+    # to begin with (the X2 dynamic-padding lesson applied to text).
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _spark_words().alias("ws"))
+        .filter(F.size("ws") > 0)
+        .withColumn(
+            "n_chunks", F.ceil(F.size("ws") / F.lit(8.0)).cast("int")
+        )
+    )
+    g = F.col("g")
+    return (
+        d.select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            g.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice("ws", g * 8 + 1, 8), " ").alias("chunk_text"),
+            F.least(F.lit(8), F.size("ws") - g * 8).cast("int").alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+@q(
+    "tx9_rare_terms",
+    f"""WITH e AS (SELECT doc_id, unnest({_duck_words()}) AS word
+                  FROM documents),
+    dw AS (SELECT DISTINCT doc_id, word FROM e WHERE word <> ''),
+    df AS (SELECT word, count(*) AS df FROM dw GROUP BY word),
+    r AS (SELECT dw.doc_id, dw.word, df.df,
+                 row_number() OVER (PARTITION BY dw.doc_id
+                                    ORDER BY df.df, dw.word) AS rk
+          FROM dw JOIN df USING (word))
+    SELECT doc_id, word, CAST(df AS BIGINT) AS df, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3""",
+)
+def tx9_rare_terms(spark, sf_dir):
+    # Per-document distinctive-term extraction: the 3 corpus-rarest words
+    # of each doc, tf-idf's argmax reduced to integer arithmetic (rank by
+    # document frequency with a lexical tiebreak) so both engines agree
+    # bit-for-bit — no log(), no float ordering hazards. Shape at scale:
+    # the (doc, word) distinct is one shuffle with map-side partials; the
+    # df table is vocabulary-sized (Heaps' law: sublinear in corpus) and
+    # joins back on the word key; the top-k window partitions by doc_id —
+    # never a global sort, never all-pairs.
+    e = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_spark_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    dfreq = e.groupBy("word").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "word")
+    return (
+        e.join(dfreq, "word")
+        .select(
+            "doc_id",
+            "word",
+            F.col("df").alias("df"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "df", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 # =========================================================================
 # Multimodal plumbing (binary payload → typed metadata; decode stubbed)
 # =========================================================================

@@ -186,3 +186,27 @@ def test_scrub1_narrow_pruned(spark):
     p = plan_of(_q(spark, "scrub1_pii_redact"))
     assert "Exchange" not in p
     assert "struct<c_custkey:bigint,c_name:string>" in p
+
+
+def test_chk1_chunking_narrow(spark):
+    # sequence packing is a one-to-many projection: zero exchanges, and the
+    # scan reads only (doc_id, text)
+    p = plan_of(_q(spark, "chk1_token_chunks"))
+    assert "Exchange" not in p
+    assert "struct<doc_id:bigint,text:string>" in p
+
+
+def test_samp2_weights_broadcast(spark):
+    # mixture resample: the (source,lang) weight table broadcasts back onto
+    # the corpus — the corpus never shuffles to apply its weights
+    p = plan_of(_q(spark, "samp2_mixture_resample"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tx9_df_partial_agg_no_allpairs(spark):
+    # rare-term rank: df table builds with map-side partial counts; the
+    # doc-word/df join is key-equi, never nested-loop
+    p = plan_of(_q(spark, "tx9_rare_terms"))
+    assert "partial_count" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
