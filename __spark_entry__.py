@@ -67,6 +67,7 @@ _ROUND3_PRIORITY = [
     "mix1_source_mix_weights",
     "ng1_dup_spans",
     "chk1_token_chunks",
+    "chk2_pack_offsets",
     "samp2_mixture_resample",
     "tx9_rare_terms",
     # r01-only entries, stale by one round

@@ -1876,6 +1876,59 @@ def chk1_token_chunks(spark, sf_dir):
 
 
 @q(
+    "chk2_pack_offsets",
+    f"""WITH d AS (SELECT doc_id, len({_duck_words()}) AS n FROM documents),
+    c AS (SELECT doc_id, n,
+                 sum(n) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(cum - n AS BIGINT) AS tok_offset,
+           CAST(floor((cum - n) / 256.0) AS BIGINT) AS seq_id
+    FROM c""",
+)
+def chk2_pack_offsets(spark, sf_dir):
+    # Greedy document packing: assign every doc its global token offset and
+    # the 256-token training sequence its first token lands in — the
+    # dataset-builder step that concatenates a corpus into fixed-budget
+    # sequences. The oracle is a global running sum; the Spark form is the
+    # SCALABLE equivalent: a two-phase distributed prefix sum — per-block
+    # token totals (tiny table) get block-start offsets from a window over
+    # blocks only, broadcast back, and each block computes its local
+    # running sum in parallel. A naive Window.orderBy(doc_id) over the
+    # corpus would serialize 10^12 rows through one partition; this shape
+    # never materializes a global order anywhere.
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(_spark_words()).alias("n"),
+            (F.col("doc_id") / 1000).cast("long").alias("blk"),
+        )
+    )
+    blk_tot = d.groupBy("blk").agg(F.sum("n").alias("blk_tot"))
+    w_blk = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # runs over the BLOCK table (corpus/1000 rows), never the corpus
+    offsets = blk_tot.select(
+        "blk", F.coalesce(F.sum("blk_tot").over(w_blk), F.lit(0)).alias("off")
+    )
+    w_loc = Window.partitionBy("blk").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(offsets), "blk")
+        .withColumn("cum", F.col("off") + F.sum("n").over(w_loc))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.col("cum") - F.col("n")).cast("long").alias("tok_offset"),
+            F.floor((F.col("cum") - F.col("n")) / F.lit(256.0)).alias(
+                "seq_id"
+            ),
+        )
+    )
+
+
+@q(
     "tx9_rare_terms",
     f"""WITH e AS (SELECT doc_id, unnest({_duck_words()}) AS word
                   FROM documents),

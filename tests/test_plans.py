@@ -210,3 +210,16 @@ def test_tx9_df_partial_agg_no_allpairs(spark):
     p = plan_of(_q(spark, "tx9_rare_terms"))
     assert "partial_count" in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_chk2_no_global_corpus_window(spark):
+    # two-phase prefix sum: block totals aggregate with map-side partials,
+    # block offsets broadcast back; the corpus-side window partitions by
+    # blk — nothing funnels the corpus through one partition
+    p = plan_of(_q(spark, "chk2_pack_offsets"))
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    import re
+    # every window over the corpus must carry a partition spec
+    assert not re.search(r"Window \[[^\]]*\], \[doc_id", p), p
