@@ -70,6 +70,7 @@ _ROUND3_PRIORITY = [
     "chk2_pack_offsets",
     "samp2_mixture_resample",
     "tx9_rare_terms",
+    "url3_blocklist_filter",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

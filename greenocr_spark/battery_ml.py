@@ -1875,6 +1875,53 @@ def chk1_token_chunks(spark, sf_dir):
     )
 
 
+_BLOCKLIST = ["src1.example.com", "de.src2.example.com", "src5.example.com"]
+
+
+@q(
+    "url3_blocklist_filter",
+    f"""WITH h AS (SELECT doc_id, lang || '.' || source || '.example.com' AS host
+                  FROM documents),
+    b(entry) AS (VALUES {", ".join(f"('{e}')" for e in _BLOCKLIST)}),
+    blocked AS (SELECT DISTINCT doc_id FROM h JOIN b
+                ON h.host = b.entry OR h.host LIKE '%.' || b.entry)
+    SELECT h.doc_id, h.host FROM h
+    WHERE h.doc_id NOT IN (SELECT doc_id FROM blocked)""",
+)
+def url3_blocklist_filter(spark, sf_dir):
+    # Domain-blocklist filtering with subdomain semantics: a doc is dropped
+    # if its host equals a blocklist entry OR sits under one (UT1-style
+    # crawl blocklists). The oracle is the naive LIKE spec; the Spark form
+    # is the shape that survives a 1M-entry blocklist: each host explodes
+    # into its dot-suffix chain (bounded by label depth, ~5), the suffixes
+    # equi-semi-join the BROADCAST blocklist (never a LIKE scan per
+    # entry), and the hit-bounded blocked-id set anti-joins back. No
+    # suffix trie, no per-entry pass — two broadcast hash joins.
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("lang"), F.lit("."), F.col("source"), F.lit(".example.com")
+        ).alias("host"),
+    )
+    parts = F.split(F.col("host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(
+            F.slice(parts, i, F.size(parts) - i + 1), "."
+        ),
+    )
+    bl = spark.createDataFrame([(e,) for e in _BLOCKLIST], "entry string")
+    blocked = (
+        d.select("doc_id", F.explode(suffixes).alias("sfx"))
+        .join(F.broadcast(bl), F.col("sfx") == F.col("entry"), "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return d.join(F.broadcast(blocked), "doc_id", "left_anti").select(
+        "doc_id", "host"
+    )
+
+
 @q(
     "chk2_pack_offsets",
     f"""WITH d AS (SELECT doc_id, len({_duck_words()}) AS n FROM documents),

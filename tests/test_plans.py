@@ -223,3 +223,11 @@ def test_chk2_no_global_corpus_window(spark):
     import re
     # every window over the corpus must carry a partition spec
     assert not re.search(r"Window \[[^\]]*\], \[doc_id", p), p
+
+
+def test_url3_blocklist_broadcasts(spark):
+    # suffix-chain blocklist: both the blocklist and the hit-bounded
+    # blocked-id set broadcast; no nested-loop LIKE scan, no SMJ
+    p = plan_of(_q(spark, "url3_blocklist_filter"))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "NestedLoop" not in p and "SortMergeJoin" not in p
