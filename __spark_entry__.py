@@ -39,11 +39,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass checks roughly the first 50 queries() entries
-# per round.  Round-3 window (VERDICT r02 items 1-3): lead with the 4 rows
-# that were red in r02 (now fixed: w9 oracle CAST, arr2/f13/mm2 array
-# serialization) plus the new ex4 byte-identity hash and the flagship, then
-# the 38 entries whose only driver evidence is r01 (rotate them back in so no
-# green row is older than one round), then the rows-only binary entries.
+# per round.  Round-3 window (VERDICT r02 items 1-3), in evidence-need order:
+# (1) the 4 rows red in r02 (now fixed: w9 oracle CAST, arr2/f13/mm2 array
+# serialization), (2) every round-3 addition needing FIRST driver evidence
+# (ex4/ex5/st8 byte-identity, pipe2, tx7-tx9, w11, pg1, url2/url3, dec1,
+# scrub1, mix1, ng1, chk1/chk2, samp2) plus the flagship re-confirm, then
+# (3) the entries whose newest driver evidence is r01.  With ~24 entries in
+# (1)+(2), roughly the first 26 of block (3) fit the window; the remainder
+# (all r01-green AND covered by the local sf0.001+sf0.01 oracle gates every
+# session) roll to the next round's rotation.
 _ROUND3_PRIORITY = [
     # fixed-red + new + flagship re-confirm
     "w9_sessionize",

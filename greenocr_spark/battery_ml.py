@@ -1729,36 +1729,20 @@ def scrub1_pii_redact(spark, sf_dir):
     )
 
 
-@q(
-    "mix1_source_mix_weights",
-    f"""WITH g AS (SELECT source, lang, count(*) AS n_docs,
-                         sum(len({_duck_words()})) AS n_tokens
-                  FROM documents GROUP BY source, lang)
-    SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(floor((1000000.0 * (sum(n_tokens) OVER ()))
-                      / (count(*) OVER () * n_tokens)) AS BIGINT)
-               AS weight_ppm
-    FROM g""",
-)
-def mix1_source_mix_weights(spark, sf_dir):
-    # Training-mixture reweighting: per (source, lang) token counts and the
-    # up/down-sampling weight (ppm) that equalizes token share across
-    # groups — the domain-mixing step before sampling a training corpus.
-    # One map-side-combined groupBy over the corpus; the window runs over
-    # the GROUP table (sources × langs — tiny), so the single-partition
-    # window is a non-issue at any corpus scale. The ppm is computed in
-    # DOUBLE with the identical operation order on both engines (same
-    # IEEE ops → bit-identical results); a pure-int64 numerator
-    # (tot_tokens * 1e6) would wrap Spark's BIGINT at ~9.2e12 total
-    # tokens — inside the 100-TB target — while DuckDB's HUGEINT would
-    # not: silent engine divergence.
-    g = (
-        t(spark, sf_dir, "documents")
-        .groupBy("source", "lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.size(_spark_words())).alias("n_tokens"),
-        )
+def _mixture_weight_table(d):
+    """Per (source, lang) doc/token counts + the token-equalizing sampling
+    weight in integer ppm — shared by mix1 (reports it) and samp2 (applies
+    it), so the two can never drift apart. One map-side-combined groupBy
+    over the corpus; the window runs over the GROUP table (sources × langs
+    — tiny), so the single-partition window is a non-issue at any corpus
+    scale. The ppm is computed in DOUBLE with the identical operation
+    order on both engines (same IEEE ops → bit-identical results); a
+    pure-int64 numerator (tot_tokens * 1e6) would wrap Spark's BIGINT at
+    ~9.2e12 total tokens — inside the 100-TB target — while DuckDB's
+    HUGEINT would not: silent engine divergence."""
+    g = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_spark_words())).alias("n_tokens"),
     )
     w = Window.partitionBy()
     return (
@@ -1775,6 +1759,24 @@ def mix1_source_mix_weights(spark, sf_dir):
             ).alias("weight_ppm"),
         )
     )
+
+
+@q(
+    "mix1_source_mix_weights",
+    f"""WITH g AS (SELECT source, lang, count(*) AS n_docs,
+                         sum(len({_duck_words()})) AS n_tokens
+                  FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((1000000.0 * (sum(n_tokens) OVER ()))
+                      / (count(*) OVER () * n_tokens)) AS BIGINT)
+               AS weight_ppm
+    FROM g""",
+)
+def mix1_source_mix_weights(spark, sf_dir):
+    # Training-mixture reweighting: per (source, lang) token counts and the
+    # up/down-sampling weight (ppm) that equalizes token share across
+    # groups — the domain-mixing step before sampling a training corpus.
+    return _mixture_weight_table(t(spark, sf_dir, "documents"))
 
 
 @q(
@@ -1795,28 +1797,18 @@ def mix1_source_mix_weights(spark, sf_dir):
 def samp2_mixture_resample(spark, sf_dir):
     # Applies mix1's token-equalizing mixture weights as a deterministic
     # downsample — the step that actually materializes the rebalanced
-    # training corpus. Weights capped at 1.0 (upsampling is a replication
-    # concern, not a filter); keep/drop decided by md5(doc_id) ppm so the
-    # sample is reproducible and engine-identical. The weight table is
-    # sources x langs (tiny) and broadcasts; the corpus pays one groupBy
-    # to learn the weights and a narrow filtered scan to apply them — no
+    # training corpus. Weights come from the SAME _mixture_weight_table as
+    # mix1 (capped at 1.0 — upsampling is a replication concern, not a
+    # filter); keep/drop decided by md5(doc_id) ppm so the sample is
+    # reproducible and engine-identical. The weight table is sources x
+    # langs (tiny) and broadcasts; the corpus pays one groupBy to learn
+    # the weights and a narrow filtered scan to apply them — no
     # corpus-sized shuffle at any scale.
     d = t(spark, sf_dir, "documents")
-    g = d.groupBy("source", "lang").agg(
-        F.sum(F.size(_spark_words())).alias("n_tokens")
-    )
-    w = Window.partitionBy()
-    weights = (
-        g.withColumn("tot_tokens", F.sum("n_tokens").over(w))
-        .withColumn("n_groups", F.count("*").over(w))
-        .select(
-            "source",
-            "lang",
-            F.expr(
-                "least(1000000, CAST(floor((1000000.0 * tot_tokens)"
-                " / (n_groups * n_tokens)) AS BIGINT))"
-            ).alias("keep_ppm"),
-        )
+    weights = _mixture_weight_table(d).select(
+        "source",
+        "lang",
+        F.expr("least(1000000, weight_ppm)").alias("keep_ppm"),
     )
     ppm = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10)

@@ -221,8 +221,15 @@ def test_chk2_no_global_corpus_window(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     import re
-    # every window over the corpus must carry a partition spec
-    assert not re.search(r"Window \[[^\]]*\], \[doc_id", p), p
+    # every window over the corpus must carry a partition spec — match the
+    # simple-mode rendering `Window [funcs], [partition], [order]`, where an
+    # unpartitioned running sum shows as `Window [...], [doc_id... ASC...]`
+    # (order spec directly after funcs, no partition list)
+    ps = plan_of(_q(spark, "chk2_pack_offsets"), mode="simple")
+    assert "Window [" in ps  # the guard must actually see window nodes
+    assert not re.search(
+        r"Window \[[^\]]*\], \[doc_id[^\]]*(ASC|DESC)", ps
+    ), ps
 
 
 def test_url3_blocklist_broadcasts(spark):
