@@ -448,3 +448,58 @@ def test_ng1_detects_shared_spans_at_any_alignment(spark, tmp_path):
         for r in b.REGISTRY["ng1_dup_spans"][0](spark, str(tmp_path)).collect()
     }
     assert got == {0: (3, 1), 1: (2, 1)}
+
+
+def test_chk1_chunks_reassemble_to_canon_text(spark):
+    """Packing invariant: joining a doc's chunks in chunk_idx order must
+    reproduce its whitespace-canonicalized text exactly, and the chunk
+    token counts must sum to the doc's token count."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    chunks = b.REGISTRY["chk1_token_chunks"][0](spark, SF_DIR)
+    re_joined = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+            ).alias("re_text"),
+            F.sum("n_tokens").alias("tok_sum"),
+        )
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.regexp_replace(F.trim("text"), r"\s+", " ").alias("canon"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+    )
+    bad = (
+        re_joined.join(docs, "doc_id")
+        .filter(
+            (F.col("re_text") != F.col("canon"))
+            | (F.col("tok_sum") != F.col("n_words"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_chk2_offsets_are_global_prefix_sums(spark):
+    """chk2's distributed two-phase prefix sum must equal the naive global
+    running sum: offsets start at 0, are strictly ordered by doc_id, and
+    tok_offset(d) == sum of n_tokens over all doc_id < d."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = (
+        b.REGISTRY["chk2_pack_offsets"][0](spark, SF_DIR)
+        .orderBy("doc_id")
+        .collect()
+    )
+    cum = 0
+    for r in rows:
+        assert r["tok_offset"] == cum, (r["doc_id"], r["tok_offset"], cum)
+        assert r["seq_id"] == r["tok_offset"] // 256
+        cum += r["n_tokens"]
