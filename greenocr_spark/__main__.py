@@ -7,6 +7,10 @@ Commands:
     calibrate --input PATH --sample N     grid-fit scorer config on labeled pages
     compact   --output DIR [--target-mb N] [--min-files K]
               merge small files in DIR/extracted (rewrite_data_files analog)
+    curate    --input PATH --output DIR [--min-tokens N] [--max-dup-frac F]
+              [--langs en,de,...] [--no-neardup] [--no-resample] [--no-resume]
+              quality gates -> dedup -> near-dup removal -> mixture resample,
+              stage-level checkpoint/resume; prints the funnel as JSON
 """
 
 from __future__ import annotations
@@ -83,6 +87,45 @@ def main() -> int:
             min_files=a.min_files,
         )
         print(json.dumps(stats))
+        spark.stop()
+        return 0
+    if cmd == "curate":
+        import argparse
+        import json
+
+        ap = argparse.ArgumentParser(prog="greenocr_spark curate")
+        ap.add_argument("--input", required=True)
+        ap.add_argument("--output", required=True)
+        ap.add_argument("--min-tokens", type=int, default=5)
+        ap.add_argument("--max-dup-frac", type=float, default=0.6)
+        ap.add_argument("--langs", default=None)
+        ap.add_argument("--no-neardup", action="store_true")
+        ap.add_argument("--no-resample", action="store_true")
+        ap.add_argument("--no-resume", action="store_true")
+        a = ap.parse_args(rest)
+        from greenocr_spark.plans.curate import read_curate_manifest, run_curate_job
+        from greenocr_spark.session import build_session
+
+        spark = build_session(app_name="curate")
+        spark.sparkContext.setLogLevel("WARN")
+        curated = run_curate_job(
+            spark,
+            spark.read.parquet(a.input),
+            a.output,
+            min_tokens=a.min_tokens,
+            max_dup_bigram_frac=a.max_dup_frac,
+            langs=tuple(a.langs.split(",")) if a.langs else None,
+            neardup=not a.no_neardup,
+            resample=not a.no_resample,
+            resume=not a.no_resume,
+        )
+        funnel = [
+            r.asDict()
+            for r in read_curate_manifest(spark, a.output)
+            .orderBy("idx")
+            .collect()
+        ]
+        print(json.dumps({"curated_rows": curated.count(), "funnel": funnel}))
         spark.stop()
         return 0
     print(f"unknown command: {cmd}\n{__doc__}", file=sys.stderr)

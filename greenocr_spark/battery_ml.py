@@ -71,9 +71,11 @@ def dd1_dedup_exact(spark, sf_dir):
     )
 
 
-def _minhash_signature_df(spark, sf_dir):
-    """doc_id + 4 minhash values over word-3-shingles (md5-int based)."""
-    d = t(spark, sf_dir, "documents").select("doc_id", _spark_words().alias("w"))
+def _minhash_signature(docs):
+    """doc_id + minhash values over word-3-shingles (md5-int based), for
+    any (doc_id, text) DataFrame — shared by the battery queries and the
+    curation job (plans/curate.py)."""
+    d = docs.select("doc_id", _spark_words().alias("w"))
     sh = d.select(
         "doc_id",
         F.explode(
@@ -95,6 +97,10 @@ def _minhash_signature_df(spark, sf_dir):
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_signature_df(spark, sf_dir):
+    return _minhash_signature(t(spark, sf_dir, "documents"))
 
 
 _MINHASH_ORACLE_SIG = f"""
@@ -145,7 +151,12 @@ def dd3_minhash_band_pairs(spark, sf_dir):
     # minhash values; candidate pairs = same composite key in any band.
     # S-curve threshold (1/b)^(1/r) ≈ 0.5 Jaccard. The scale path: the
     # self-join is per (band, bkey) bucket, never all-pairs.
-    sig = _minhash_signature_df(spark, sf_dir)
+    return _band_pairs(_minhash_signature_df(spark, sf_dir))
+
+
+def _band_pairs(sig):
+    """LSH banded candidate pairs from a minhash-signature DataFrame —
+    shared by dd3 and the curation job (plans/curate.py)."""
     band_keys = [
         F.md5(
             F.concat_ws(
@@ -296,13 +307,19 @@ def pipe2_neardup_removal(spark, sf_dir):
     # the corpus fed to training. Left-anti against the small non-survivor
     # side; at 10^12 rows the cluster table is ≪ the corpus (only docs in
     # some candidate pair), so the final join broadcasts.
-    clusters = _connected_components(dd3_minhash_band_pairs(spark, sf_dir))
-    losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    docs = t(spark, sf_dir, "documents")
     return (
-        t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .join(F.broadcast(losers), "doc_id", "left_anti")
+        docs.select("doc_id")
+        .join(F.broadcast(_neardup_losers(docs)), "doc_id", "left_anti")
     )
+
+
+def _neardup_losers(docs):
+    """doc_ids to DROP under near-dup removal (every clustered doc except
+    its cluster's min member) for any (doc_id, text) DataFrame — shared by
+    pipe2 and the curation job (plans/curate.py)."""
+    clusters = _connected_components(_band_pairs(_minhash_signature(docs)))
+    return clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
 
 
 @q(

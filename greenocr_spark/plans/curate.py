@@ -1,0 +1,203 @@
+"""Curation job: quality gates → language filter → exact dedup →
+near-dup removal → mixture resample over a (doc_id, text, lang, source)
+corpus, with STAGE-level checkpoint/resume and a funnel manifest — the
+training-data side's counterpart of the extraction job (plans/job.py).
+
+Why stage-level (vs the extraction job's partition-level) resume: every
+curation stage after the narrow gates is corpus-GLOBAL — dedup winners
+and near-dup clusters depend on all rows — so partitions cannot complete
+independently. The restart unit is the completed stage: each stage
+commits its survivor doc_id set under out_dir/stages/<name>/ (ids only —
+tiny next to the corpus), and a rerun reuses every committed stage,
+recomputing only what's missing. A params fingerprint is committed on
+the first run and checked on resume, so a config drift cannot silently
+mix survivor sets computed under different rules (the
+plans/incremental.py layout-guard lesson, ADVICE r02).
+
+Scale shape per stage (10^12-doc corpus):
+- quality/lang: narrow array-lambda filters, zero shuffle.
+- exact dedup: one map-side-combined groupBy on md5(text); winner ids
+  semi-join back on doc_id.
+- near-dup: MinHash → banded LSH bucket self-join (never all-pairs) →
+  O(log d) pointer-jumping connected components → loser anti-join
+  (the same code the dd2/dd3/dd8/pipe2 battery entries value-check).
+- resample: the sources×langs weight table broadcasts; the corpus is
+  filtered by a deterministic md5-ppm predicate — no corpus shuffle.
+- survivor sets apply as doc_id semi-joins; AQE broadcasts them while
+  they fit and falls back to a key shuffle beyond.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+from greenocr_spark.battery_ml import (
+    _mixture_weight_table,
+    _neardup_losers,
+    _spark_words,
+)
+
+CURATE_MANIFEST_COLS = ["stage", "idx", "rows_in", "rows_out", "run_id"]
+
+
+def _stage_dir(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, "stages", name)
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """None ONLY for a missing path (stage not yet committed); any other
+    read failure propagates — treating a transient FS error as 'not done'
+    would silently recompute a stage whose committed survivors downstream
+    stages already consumed."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def _quality_gate(cur: DataFrame, min_tokens: int, max_frac: float) -> DataFrame:
+    ws = _spark_words()
+    big = F.transform(
+        F.slice(ws, 1, F.size(ws) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(ws, i + 2)),
+    )
+    frac = F.when(
+        F.size(big) > 0,
+        1 - F.size(F.array_distinct(big)) / F.size(big).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return cur.filter((F.size(ws) >= min_tokens) & (frac <= max_frac))
+
+
+def _exact_dedup(cur: DataFrame) -> DataFrame:
+    return (
+        cur.select("doc_id", F.md5("text").alias("sig"))
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def _resample(cur: DataFrame) -> DataFrame:
+    weights = _mixture_weight_table(cur).select(
+        "source", "lang", F.expr("least(1000000, weight_ppm)").alias("keep_ppm")
+    )
+    ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return (
+        cur.join(F.broadcast(weights), ["source", "lang"])
+        .filter(ppm < F.col("keep_ppm"))
+        .select("doc_id")
+    )
+
+
+def run_curate_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    min_tokens: int = 5,
+    max_dup_bigram_frac: float = 0.6,
+    langs: tuple[str, ...] | None = None,
+    neardup: bool = True,
+    resample: bool = True,
+    run_id: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Run (or resume) the curation job. Returns the curated corpus read
+    back from out_dir/curated. Metrics: one (stage, rows_in, rows_out)
+    funnel row per freshly computed stage in out_dir/manifest."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    params = json.dumps(
+        {
+            "min_tokens": min_tokens,
+            "max_dup_bigram_frac": max_dup_bigram_frac,
+            "langs": sorted(langs) if langs else None,
+            "neardup": neardup,
+            "resample": resample,
+        },
+        sort_keys=True,
+    )
+    params_dir = os.path.join(out_dir, "params")
+    committed = _read_parquet_or_none(spark, params_dir)
+    if committed is None:
+        spark.createDataFrame([(params,)], "params string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(params_dir)
+    elif resume:
+        stored = committed.first()["params"]
+        if stored != params:
+            raise ValueError(
+                f"curation params drift at {out_dir}: committed {stored} vs "
+                f"requested {params} — completed stage survivor sets were "
+                "computed under different rules; rerun fresh into a new "
+                "out_dir (or pass resume=False to recompute everything)"
+            )
+
+    stages: list[tuple[str, object]] = [
+        (
+            "quality",
+            lambda cur: _quality_gate(
+                cur, min_tokens, max_dup_bigram_frac
+            ).select("doc_id"),
+        )
+    ]
+    if langs:
+        allowed = list(langs)
+        stages.append(
+            ("lang", lambda cur: cur.filter(F.col("lang").isin(allowed)).select("doc_id"))
+        )
+    stages.append(("exact", _exact_dedup))
+    if neardup:
+        stages.append(
+            (
+                "neardup",
+                lambda cur: cur.select("doc_id").join(
+                    F.broadcast(_neardup_losers(cur)), "doc_id", "left_anti"
+                ),
+            )
+        )
+    if resample:
+        stages.append(("resample", _resample))
+
+    cur = docs
+    rows_in = None  # counted lazily only when a stage actually computes
+    for idx, (name, compute) in enumerate(stages):
+        sdir = _stage_dir(out_dir, name)
+        ids = _read_parquet_or_none(spark, sdir) if resume else None
+        if ids is None:
+            if rows_in is None:
+                rows_in = cur.count()
+            compute(cur).write.mode("overwrite").parquet(sdir)
+            ids = spark.read.parquet(sdir)
+            rows_out = ids.count()
+            spark.createDataFrame(
+                [(name, idx, rows_in, rows_out, run_id)],
+                "stage string, idx int, rows_in long, rows_out long,"
+                " run_id string",
+            ).coalesce(1).write.mode("append").parquet(
+                os.path.join(out_dir, "manifest")
+            )
+            rows_in = rows_out
+        else:
+            rows_in = None  # unknown without counting; next fresh stage recounts
+        cur = docs.join(ids.select("doc_id"), "doc_id", "left_semi")
+
+    curated_dir = os.path.join(out_dir, "curated")
+    cur.write.mode("overwrite").parquet(curated_dir)
+    return spark.read.parquet(curated_dir)
+
+
+def read_curate_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    return _read_parquet_or_none(spark, os.path.join(out_dir, "manifest"))
