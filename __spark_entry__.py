@@ -75,6 +75,7 @@ _ROUND3_PRIORITY = [
     "samp2_mixture_resample",
     "tx9_rare_terms",
     "url3_blocklist_filter",
+    "hh1_hot_hosts",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

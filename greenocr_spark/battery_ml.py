@@ -1884,6 +1884,54 @@ def chk1_token_chunks(spark, sf_dir):
     )
 
 
+@q(
+    "hh1_hot_hosts",
+    """WITH c AS (SELECT source || '.example.com' AS host,
+                        count(*) AS n_rows,
+                        CAST(sum(n_chars) AS BIGINT) AS n_bytes
+                 FROM documents GROUP BY host),
+    t AS (SELECT CAST(sum(n_bytes) AS BIGINT) AS total FROM c)
+    SELECT host, n_rows, n_bytes,
+           CAST(ceil(n_bytes / (total / 20.0)) AS INT) AS n_salts
+    FROM c, t
+    WHERE n_bytes > total / 20.0""",
+)
+def hh1_hot_hosts(spark, sf_dir):
+    # Heavy-hitter detection — the learning step of adaptive skew salting
+    # (functions/sqlfns.adaptive_salted_part_id uses this rule on row
+    # counts: hot = any host above one partition budget total/n_parts;
+    # here the budget is BYTE mass, the signal that actually stalls an
+    # extraction task, and the above-average host set is non-empty even
+    # on the row-uniform test corpus). Exposed as a driver-checkable
+    # query: one map-side-combined aggregate per host (hosts << rows),
+    # the 1-row total broadcast back. At 10^12 rows the host table is
+    # the web's host set (~10^8) — still one cheap aggregate, no corpus
+    # second-scan.
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+        )
+    )
+    tot = c.agg(F.sum("n_bytes").cast("long").alias("total"))
+    return (
+        c.join(F.broadcast(tot))
+        .filter(F.col("n_bytes") > F.col("total") / 20.0)
+        .select(
+            "host",
+            "n_rows",
+            "n_bytes",
+            F.ceil(F.col("n_bytes") / (F.col("total") / F.lit(20.0)))
+            .cast("int")
+            .alias("n_salts"),
+        )
+    )
+
+
 _BLOCKLIST = ["src1.example.com", "de.src2.example.com", "src5.example.com"]
 
 
