@@ -98,10 +98,76 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _run_job_mode(spark, args, sf_dir: str, t_synth: float) -> None:
+    """Run the COMPOSED plans/curate.py job (stage persistence, funnel
+    manifest) on the synthetic corpus, then a resume no-op — the job-level
+    counterpart of the per-operator chain timings."""
+    from greenocr_spark.plans.curate import read_curate_manifest, run_curate_job
+
+    out = os.path.join(sf_dir, "curate_out")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(min_tokens=5, max_dup_bigram_frac=0.9, neardup=True, resample=True)
+
+    t0 = time.perf_counter()
+    curated = run_curate_job(spark, docs, out, **kw)
+    job_wall = time.perf_counter() - t0
+    curated_rows = curated.count()
+
+    t0 = time.perf_counter()
+    run_curate_job(spark, docs, out, **kw)  # all stages committed -> reuse
+    resume_wall = time.perf_counter() - t0
+
+    funnel = [
+        (r["stage"], r["rows_in"], r["rows_out"])
+        for r in read_curate_manifest(spark, out).orderBy("idx").collect()
+    ]
+    rec = {
+        "metric": "curation-job soak",
+        "n_docs": args.docs,
+        "cpus": args.cpus,
+        "synth_s": round(t_synth, 1),
+        "job_wall_s": round(job_wall, 1),
+        "resume_noop_s": round(resume_wall, 1),
+        "curated_rows": curated_rows,
+        "docs_per_sec": round(args.docs / max(job_wall, 1e-6), 1),
+        "funnel": funnel,
+    }
+    print(json.dumps(rec))
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(md):
+        fw = " → ".join(f"{s} {o:,}" for s, _, o in funnel)
+        with open(md, "a") as f:
+            f.write(f"""
+## Curation-JOB soak (composed plans/curate.py at volume)
+
+`python BENCH/run_curation_soak.py --mode job` — the stage-checkpointed
+curation job (quality → exact dedup → near-dup removal → mixture resample)
+over the same {args.docs:,}-doc planted corpus at local[{args.cpus}]:
+
+| docs | job wall | docs/s | resume no-op | funnel (rows out per stage) |
+|---|---|---|---|---|
+| {args.docs:,} | {rec['job_wall_s']}s | {rec['docs_per_sec']:,} | {rec['resume_noop_s']}s | {fw} |
+
+The resume no-op re-invokes the job with every stage already committed:
+its cost is reading back the tiny survivor-id sets plus rewriting the
+final curated table — no stage recomputes, which is the stage-level
+checkpoint model doing its job (see plans/curate.py docstring).
+""")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--mode",
+        choices=("chain", "job"),
+        default="chain",
+        help="chain: time each registry operator standalone (recomputes "
+        "upstream); job: run the composed plans/curate.py job with stage "
+        "persistence, then a resume no-op",
+    )
     args = ap.parse_args()
 
     from greenocr_spark.session import build_session
@@ -127,6 +193,10 @@ def main() -> None:
         counts: dict[str, int] = {}
 
         reg = b.REGISTRY
+
+        if args.mode == "job":
+            _run_job_mode(spark, args, sf_dir, t_synth)
+            return
 
         def stage(name, qname, count=False):
             # time CONSTRUCTION + execution: dd8/pipe2 run their iterative
