@@ -304,9 +304,11 @@ def pipe2_neardup_removal(spark, sf_dir):
     # executes: MinHash signatures → LSH banded candidate pairs (dd3) →
     # distributed connected components (dd8's kernel) → keep each
     # cluster's min doc_id plus every unclustered doc. The survivor set is
-    # the corpus fed to training. Left-anti against the small non-survivor
-    # side; at 10^12 rows the cluster table is ≪ the corpus (only docs in
-    # some candidate pair), so the final join broadcasts.
+    # the corpus fed to training. The broadcast hint on the loser side is
+    # valid while clustered docs ≪ corpus (this battery surface); on a
+    # HIGH-duplication corpus the loser set is corpus-proportional, so the
+    # production job (plans/curate.py) omits the hint and lets AQE choose
+    # broadcast vs key-shuffle from the measured size at runtime.
     docs = t(spark, sf_dir, "documents")
     return (
         docs.select("doc_id")

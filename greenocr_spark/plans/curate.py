@@ -20,7 +20,10 @@ Scale shape per stage (10^12-doc corpus):
   semi-join back on doc_id.
 - near-dup: MinHash → banded LSH bucket self-join (never all-pairs) →
   O(log d) pointer-jumping connected components → loser anti-join
-  (the same code the dd2/dd3/dd8/pipe2 battery entries value-check).
+  (the same code the dd2/dd3/dd8/pipe2 battery entries value-check);
+  the loser set is deliberately NOT broadcast-hinted — it is
+  corpus-proportional on high-duplication corpora, so AQE picks
+  broadcast vs shuffle from its measured size at runtime.
 - resample: the sources×langs weight table broadcasts; the corpus is
   filtered by a deterministic md5-ppm predicate — no corpus shuffle.
 - survivor sets apply as doc_id semi-joins; AQE broadcasts them while
@@ -160,11 +163,16 @@ def run_curate_job(
         )
     stages.append(("exact", _exact_dedup))
     if neardup:
+        # no broadcast hint on the loser set: on a high-duplication corpus
+        # it is corpus-proportional (30% of rows in the planted soak), so
+        # forcing a broadcast would OOM at 10^12 rows. AQE converts the
+        # anti-join to a broadcast at runtime while the measured size fits
+        # and falls back to a key shuffle beyond — the scale-safe default.
         stages.append(
             (
                 "neardup",
                 lambda cur: cur.select("doc_id").join(
-                    F.broadcast(_neardup_losers(cur)), "doc_id", "left_anti"
+                    _neardup_losers(cur), "doc_id", "left_anti"
                 ),
             )
         )
