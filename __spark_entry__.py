@@ -76,6 +76,7 @@ _ROUND3_PRIORITY = [
     "tx9_rare_terms",
     "url3_blocklist_filter",
     "hh1_hot_hosts",
+    "quant1_int8_topk",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

@@ -2736,3 +2736,96 @@ def st2_stateful_per_user(spark, sf_dir):
     return spark.table(name).groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
     )
+
+
+# ---- quant1: int8 scalar quantization + top-k (ANN compression path) ------
+
+_Q1_SCALE = (
+    "greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    " / 127.0, 1e-12)"
+)
+
+
+@q(
+    "quant1_int8_topk",
+    f"""WITH s AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                          {_Q1_SCALE} AS sc
+                   FROM embeddings),
+    z AS (SELECT vec_id, emb,
+                 list_transform(emb, x ->
+                     greatest(-127.0, least(127.0, floor(x / sc + 0.5)))) AS qc
+          FROM s),
+    qv AS (SELECT qc AS qq, emb AS qemb FROM z WHERE vec_id = 0),
+    c AS (SELECT e.vec_id,
+                 round(list_sum(list_transform(range(1, 65), i -> e.qc[i] * q.qq[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> e.qc[i] * e.qc[i])))
+                          * sqrt(list_sum(list_transform(range(1, 65), i -> q.qq[i] * q.qq[i])))),
+                       4) AS cos_q,
+                 round(list_sum(list_transform(range(1, 65), i -> e.emb[i] * q.qemb[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> e.emb[i] * e.emb[i])))
+                          * sqrt(list_sum(list_transform(range(1, 65), i -> q.qemb[i] * q.qemb[i])))),
+                       4) AS cos_exact
+          FROM z e, qv q WHERE e.vec_id <> 0)
+    SELECT vec_id, cos_q, cos_exact FROM c
+    ORDER BY cos_q DESC, vec_id LIMIT 10""",
+)
+def quant1_int8_topk(spark, sf_dir):
+    # Int8 scalar quantization — the ANN memory-compression scale path:
+    # 64 float32 dims (256 B) -> 64 int8 codes + one float scale (~68 B),
+    # a ~4x footprint cut that at 10^12 vectors decides whether the index
+    # fits executor memory. Symmetric per-vector max-abs scaling means the
+    # scales cancel in cosine, so ranking over int8 codes IS the
+    # reconstructed-vector cosine; the quantized dot products are integer
+    # arithmetic (exact in float64), so the DuckDB twin matches
+    # deterministically regardless of summation order. cos_exact is carried
+    # alongside so the output itself exhibits the quantization error.
+    # Plan shape: narrow quantization map + broadcast 1-row query +
+    # TakeOrderedAndProject — the corpus is scanned once, never shuffled.
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select(
+        "vec_id",
+        dbl.alias("emb"),
+        F.greatest(
+            F.array_max(F.transform(dbl, lambda x: F.abs(x))) / F.lit(127.0),
+            F.lit(1e-12),
+        ).alias("sc"),
+    )
+    quantized = base.select(
+        "vec_id",
+        "emb",
+        F.transform(
+            F.col("emb"),
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(x / F.col("sc") + F.lit(0.5)).cast("double"),
+                ),
+            ),
+        ).alias("qc"),
+    )
+    qv = quantized.filter(F.col("vec_id") == 0).select(
+        F.col("qc").alias("qq"), F.col("emb").alias("qemb")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s0, v: s0 + v
+        )
+
+    def _cos(a, b):
+        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+    return (
+        quantized.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(_cos(F.col("qc"), F.col("qq")), 4).alias("cos_q"),
+            F.round(_cos(F.col("emb"), F.col("qemb")), 4).alias("cos_exact"),
+        )
+        .orderBy(F.desc("cos_q"), "vec_id")
+        .limit(10)
+    )

@@ -503,3 +503,20 @@ def test_chk2_offsets_are_global_prefix_sums(spark):
         assert r["tok_offset"] == cum, (r["doc_id"], r["tok_offset"], cum)
         assert r["seq_id"] == r["tok_offset"] // 256
         cum += r["n_tokens"]
+
+
+def test_quant1_int8_preserves_topk_ranking(spark):
+    """Quantization-quality invariant: int8 codes must keep ≥8 of the exact
+    top-10 neighbors, and per-row |cos_q − cos_exact| must stay under the
+    worst-case scalar-quantization error bound for 64 dims."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = b.REGISTRY["quant1_int8_topk"][0](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r["cos_q"] - r["cos_exact"]) < 0.05, r
+
+    exact = b.REGISTRY["ann1_cosine_topk"][0](spark, SF_DIR).collect()
+    overlap = {r["vec_id"] for r in rows} & {r["vec_id"] for r in exact}
+    assert len(overlap) >= 8, sorted(overlap)

@@ -238,3 +238,13 @@ def test_url3_blocklist_broadcasts(spark):
     p = plan_of(_q(spark, "url3_blocklist_filter"))
     assert p.count("BroadcastHashJoin") >= 2
     assert "NestedLoop" not in p and "SortMergeJoin" not in p
+
+
+def test_quant1_no_corpus_shuffle(spark):
+    # quant1: quantization is a narrow map; the 1-row quantized query is
+    # broadcast and the top-k is TakeOrderedAndProject — the corpus must
+    # never hit an Exchange, and nothing may fall back to row-Python.
+    p = plan_of(_q(spark, "quant1_int8_topk"))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
