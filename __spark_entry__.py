@@ -77,6 +77,7 @@ _ROUND3_PRIORITY = [
     "url3_blocklist_filter",
     "hh1_hot_hosts",
     "quant1_int8_topk",
+    "shuf1_train_order",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

@@ -2829,3 +2829,52 @@ def quant1_int8_topk(spark, sf_dir):
         .orderBy(F.desc("cos_q"), "vec_id")
         .limit(10)
     )
+
+
+@q(
+    "shuf1_train_order",
+    """WITH s AS (SELECT doc_id,
+                         md5(CAST(doc_id AS VARCHAR) || ':42') AS skey
+                  FROM documents)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+    FROM s""",
+)
+def shuf1_train_order(spark, sf_dir):
+    # Deterministic training-order shuffle: every doc gets a reproducible
+    # global position in a seeded pseudorandom permutation (the
+    # dataset-builder step that randomizes training order — it must be
+    # deterministic so a resumed/restarted training run sees the same
+    # order). The oracle is a global row_number over the md5 shuffle key;
+    # the Spark form is the scalable equivalent: the key's first two hex
+    # chars partition the corpus into 256 uniform blocks (a PREFIX of the
+    # sort key, so block order + in-block order = global order), per-block
+    # counts (256-row table) get block-start offsets from a window over
+    # blocks only, broadcast back, and each block ranks locally in
+    # parallel. No global-order window ever sees the corpus — the same
+    # two-phase prefix-sum shape as chk2, keyed by the shuffle hash.
+    c = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias(
+                "skey"
+            ),
+        )
+        .withColumn("blk", F.substring("skey", 1, 2))
+    )
+    blk_n = c.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = blk_n.select(
+        "blk", F.coalesce(F.sum("n").over(w_blk), F.lit(0)).alias("off")
+    )
+    w_loc = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    return (
+        c.join(F.broadcast(offsets), "blk")
+        .select(
+            "doc_id",
+            (F.col("off") + F.row_number().over(w_loc) - 1)
+            .cast("long")
+            .alias("pos"),
+        )
+    )

@@ -520,3 +520,21 @@ def test_quant1_int8_preserves_topk_ranking(spark):
     exact = b.REGISTRY["ann1_cosine_topk"][0](spark, SF_DIR).collect()
     overlap = {r["vec_id"] for r in rows} & {r["vec_id"] for r in exact}
     assert len(overlap) >= 8, sorted(overlap)
+
+
+def test_shuf1_is_seeded_permutation(spark):
+    """Shuffle-order invariants: positions are exactly 0..n-1 (a true
+    permutation), the order is NOT the identity (it actually shuffles),
+    and re-running yields the identical assignment (seeded determinism)."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    fn = b.REGISTRY["shuf1_train_order"][0]
+    rows = fn(spark, SF_DIR).collect()
+    pos = sorted(r["pos"] for r in rows)
+    assert pos == list(range(len(rows)))
+    by_doc = {r["doc_id"]: r["pos"] for r in rows}
+    identity = sum(1 for d, p in by_doc.items() if d == p)
+    assert identity < len(rows) * 0.05  # a real shuffle, not doc order
+    again = {r["doc_id"]: r["pos"] for r in fn(spark, SF_DIR).collect()}
+    assert again == by_doc

@@ -248,3 +248,20 @@ def test_quant1_no_corpus_shuffle(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p
+
+
+def test_shuf1_no_global_order_window(spark):
+    # shuf1: the permutation must come from the two-phase block form.
+    # The only global-order window allowed is the one over the 256-row
+    # block-count table; every window touching the corpus must carry a
+    # partition spec (same guard shape as chk2's pin).
+    p = plan_of(_q(spark, "shuf1_train_order"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p
+    import re
+    ps = plan_of(_q(spark, "shuf1_train_order"), mode="simple")
+    assert "Window [" in ps
+    # an unpartitioned corpus window would order directly by the per-row
+    # shuffle key: `Window [...], [skey ...]` with no partition list
+    assert not re.search(r"Window \[[^\]]*\], \[skey[^\]]*(ASC|DESC)", ps), ps
