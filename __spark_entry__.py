@@ -78,6 +78,7 @@ _ROUND3_PRIORITY = [
     "hh1_hot_hosts",
     "quant1_int8_topk",
     "shuf1_train_order",
+    "cdc1_snapshot_diff",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

@@ -2878,3 +2878,74 @@ def shuf1_train_order(spark, sf_dir):
             .alias("pos"),
         )
     )
+
+
+@q(
+    "cdc1_snapshot_diff",
+    """WITH base AS (SELECT doc_id,
+                            'https://ex.org/' || source || '/' ||
+                                CAST(doc_id AS VARCHAR) AS url,
+                            text
+                     FROM documents),
+    old AS (SELECT url, md5(text) AS oh FROM base WHERE doc_id % 13 <> 0),
+    new AS (SELECT url,
+                   md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END) AS nh
+            FROM base WHERE doc_id % 17 <> 0),
+    j AS (SELECT o.url AS ou, n.url AS nu, o.oh, n.nh
+          FROM old o FULL OUTER JOIN new n ON o.url = n.url)
+    SELECT CASE WHEN ou IS NULL THEN 'added'
+                WHEN nu IS NULL THEN 'deleted'
+                WHEN oh = nh THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n
+    FROM j GROUP BY 1 ORDER BY status""",
+)
+def cdc1_snapshot_diff(spark, sf_dir):
+    # Recrawl change-data-capture: diff two crawl snapshots by url into
+    # added / deleted / changed / unchanged — the incremental-refresh
+    # planning step (plans/incremental.py consumes exactly this signal) as
+    # an oracle-checked query. The two snapshots are carved
+    # deterministically out of documents (doc_id % 13 / % 17 membership,
+    # % 5 text edits) so the query is self-contained. Scale shape: content
+    # hashes are computed NARROW before the join so the full-outer join
+    # carries (url, 32-byte hash), never text; a url-keyed full outer join
+    # cannot broadcast, so it shuffle-joins co-partitioned on url — the
+    # right 10^12-row shape (bucket both snapshots by url to elide the
+    # exchange entirely) — and the status rollup aggregates with map-side
+    # partials.
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://ex.org/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    old = base.filter(F.col("doc_id") % 13 != 0).select(
+        "url", F.md5("text").alias("oh"), F.lit(True).alias("in_old")
+    )
+    new = base.filter(F.col("doc_id") % 17 != 0).select(
+        "url",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("nh"),
+        F.lit(True).alias("in_new"),
+    )
+    status = (
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "deleted")
+        .when(F.col("oh") == F.col("nh"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        old.join(new, "url", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )

@@ -265,3 +265,16 @@ def test_shuf1_no_global_order_window(spark):
     # an unpartitioned corpus window would order directly by the per-row
     # shuffle key: `Window [...], [skey ...]` with no partition list
     assert not re.search(r"Window \[[^\]]*\], \[skey[^\]]*(ASC|DESC)", ps), ps
+
+
+def test_cdc1_hashes_before_join(spark):
+    # cdc1: the full-outer snapshot join must carry (url, hash), never the
+    # text column — md5 happens below the exchange — and the status rollup
+    # aggregates with map-side partials.
+    p = plan_of(_q(spark, "cdc1_snapshot_diff"))
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "partial_count" in p
+    import re
+    # no Exchange may ship the raw text column
+    for m in re.finditer(r"Exchange [^\n]*", p):
+        assert "text" not in m.group(0), m.group(0)
