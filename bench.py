@@ -91,6 +91,12 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict:
         "tx8_bigram_lm_score": from_reg("tx8_bigram_lm_score"),
         # benchmark decontamination: broadcast eval-set n-gram join
         "dec1_decontaminate": from_reg("dec1_decontaminate"),
+        # round-3 late additions: int8 quantized top-k (vector-lambda math),
+        # seeded training-order shuffle (two-phase block ranking), recrawl
+        # snapshot diff (hash-before-join full outer)
+        "quant1_int8_topk": from_reg("quant1_int8_topk"),
+        "shuf1_train_order": from_reg("shuf1_train_order"),
+        "cdc1_snapshot_diff": from_reg("cdc1_snapshot_diff"),
     }
 
 
