@@ -79,6 +79,8 @@ _ROUND3_PRIORITY = [
     "quant1_int8_topk",
     "shuf1_train_order",
     "cdc1_snapshot_diff",
+    "idx1_inverted_index",
+    "tok1_pretokenize",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

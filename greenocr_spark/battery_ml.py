@@ -2949,3 +2949,102 @@ def cdc1_snapshot_diff(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+@q(
+    "idx1_inverted_index",
+    f"""WITH e AS (SELECT DISTINCT doc_id, unnest({_duck_words()}) AS w
+                   FROM documents),
+    t2 AS (SELECT doc_id, w FROM e WHERE w <> ''),
+    d AS (SELECT w, count(*) AS df FROM t2 GROUP BY w),
+    r AS (SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rk
+          FROM t2)
+    SELECT r.w AS term, CAST(d.df AS BIGINT) AS df,
+           string_agg(CAST(r.doc_id AS VARCHAR), ' ' ORDER BY r.doc_id)
+               AS postings
+    FROM r JOIN d USING (w) WHERE r.rk <= 5
+    GROUP BY r.w, d.df""",
+)
+def idx1_inverted_index(spark, sf_dir):
+    # Inverted-index build (term -> df + postings): the search/retrieval
+    # side of a training-data platform. The scale hazard is the postings
+    # list itself — collect_list over a stopword's 10^12-row posting set is
+    # an OOM; here postings are BOUNDED to the 5 smallest doc_ids via a
+    # per-term row_number window BEFORE any list is materialized, and df
+    # comes from a count over the same per-term partitioning, so one
+    # word-keyed exchange serves window + count + the bounded collect.
+    e = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_spark_words()).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    r = e.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("w").orderBy("doc_id"))
+    ).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("w"))
+    )
+    return (
+        r.filter(F.col("rk") <= 5)
+        .groupBy(F.col("w").alias("term"), F.col("df").cast("long").alias("df"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                " ",
+            ).alias("postings")
+        )
+    )
+
+
+# GPT-2-ish pretokenizer classes: contraction / letter run / digit run /
+# punctuation run. Same regex semantics in Java (Spark) and RE2 (DuckDB):
+# no lookarounds, no \p classes — plain alternation over ASCII classes.
+_TOK1_RE = r"'[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@q(
+    "tok1_pretokenize",
+    """WITH s AS (SELECT doc_id,
+                         regexp_extract_all(lower(text),
+                             '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS tk
+                  FROM documents)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tok,
+           CAST(len(list_filter(tk, x -> regexp_matches(x, '^[a-z]')))
+                AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(tk, x -> regexp_matches(x, '^[0-9]')))
+                AS BIGINT) AS n_num,
+           CAST(len(list_filter(tk,
+                x -> NOT regexp_matches(x, '^[a-z0-9]'))) AS BIGINT) AS n_punct
+    FROM s""",
+)
+def tok1_pretokenize(spark, sf_dir):
+    # BPE-style pretokenization counts: split text with the GPT-2-shaped
+    # pretokenizer regex (contraction | letter run | digit run | punct run)
+    # and report per-class token counts — the token-budget accounting a
+    # training-data pipeline runs before the real BPE merge (which is
+    # vocabulary-dependent; the regex pass is the corpus-side, scale-heavy
+    # step). Pure narrow projection: regexp_extract_all + array filters,
+    # zero exchanges, JVM-side codegen throughout.
+    tk = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK1_RE), F.lit(0))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_tok"),
+            F.size(F.filter(F.col("tk"), lambda x: x.rlike("^[a-z]")))
+            .cast("long")
+            .alias("n_alpha"),
+            F.size(F.filter(F.col("tk"), lambda x: x.rlike("^[0-9]")))
+            .cast("long")
+            .alias("n_num"),
+            F.size(F.filter(F.col("tk"), lambda x: ~x.rlike("^[a-z0-9]")))
+            .cast("long")
+            .alias("n_punct"),
+        )
+    )

@@ -538,3 +538,20 @@ def test_shuf1_is_seeded_permutation(spark):
     assert identity < len(rows) * 0.05  # a real shuffle, not doc order
     again = {r["doc_id"]: r["pos"] for r in fn(spark, SF_DIR).collect()}
     assert again == by_doc
+
+
+def test_tok1_classifies_known_sentence(spark, tmp_path):
+    """Pretokenizer ground truth: "Don't stop 123 now!!" lowercases and
+    splits into [don, 't, stop, 123, now, !!]. Class split: don/stop/now
+    are alpha-led, 123 is numeric, and 't + !! count as punct because the
+    class test is on the FIRST char ('t matches the contraction
+    alternative but starts with an apostrophe)."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    spark.createDataFrame(
+        [(0, "Don't stop 123 now!!")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = b.REGISTRY["tok1_pretokenize"][0](spark, str(tmp_path)).collect()[0]
+    # tokens: don | 't | stop | 123 | now | !!
+    assert (r["n_tok"], r["n_alpha"], r["n_num"], r["n_punct"]) == (6, 3, 1, 2)

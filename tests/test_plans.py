@@ -278,3 +278,19 @@ def test_cdc1_hashes_before_join(spark):
     # no Exchange may ship the raw text column
     for m in re.finditer(r"Exchange [^\n]*", p):
         assert "text" not in m.group(0), m.group(0)
+
+
+def test_idx1_bounded_postings_one_exchange_family(spark):
+    # inverted index: postings bounded BEFORE any collect_list; window +
+    # count + bounded collect all ride the word-keyed partitioning; never
+    # a nested-loop, and the final collect sees <= 5 rows per term.
+    p = plan_of(_q(spark, "idx1_inverted_index"))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_tok1_narrow_pruned(spark):
+    # pretokenizer: zero exchanges, scan reads only (doc_id, text)
+    p = plan_of(_q(spark, "tok1_pretokenize"))
+    assert "Exchange" not in p
+    assert "struct<doc_id:bigint,text:string>" in p
