@@ -2815,16 +2815,29 @@ def quant1_int8_topk(spark, sf_dir):
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s0, v: s0 + v
         )
 
-    def _cos(a, b):
-        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    # the query-side norms are loop-invariant — compute them ONCE in the
+    # 1-row broadcast side instead of re-aggregating 64 elements per corpus
+    # row (cuts per-row HOF work from 6 array aggregates to 4); the per-row
+    # float expression tree is unchanged, so results are bit-identical
+    qv = qv.select(
+        "qq",
+        "qemb",
+        F.sqrt(_dot(F.col("qq"), F.col("qq"))).alias("qqn"),
+        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))).alias("qen"),
+    )
+
+    def _cos(a, b, bnorm):
+        return _dot(a, b) / (F.sqrt(_dot(a, a)) * bnorm)
 
     return (
         quantized.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
-            F.round(_cos(F.col("qc"), F.col("qq")), 4).alias("cos_q"),
-            F.round(_cos(F.col("emb"), F.col("qemb")), 4).alias("cos_exact"),
+            F.round(_cos(F.col("qc"), F.col("qq"), F.col("qqn")), 4).alias("cos_q"),
+            F.round(
+                _cos(F.col("emb"), F.col("qemb"), F.col("qen")), 4
+            ).alias("cos_exact"),
         )
         .orderBy(F.desc("cos_q"), "vec_id")
         .limit(10)
