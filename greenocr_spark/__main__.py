@@ -11,6 +11,10 @@ Commands:
               [--langs en,de,...] [--no-neardup] [--no-resample] [--no-resume]
               quality gates -> dedup -> near-dup removal -> mixture resample,
               stage-level checkpoint/resume; prints the funnel as JSON
+    export    --input PATH --output DIR [--seq-len N] [--rows-per-shard N]
+              [--seed S] [--no-resume]
+              chunk -> seeded shuffle -> deterministic training shards with
+              per-shard manifest; prints summary stats as JSON
 """
 
 from __future__ import annotations
@@ -126,6 +130,35 @@ def main() -> int:
             .collect()
         ]
         print(json.dumps({"curated_rows": curated.count(), "funnel": funnel}))
+        spark.stop()
+        return 0
+    if cmd == "export":
+        import argparse
+        import json
+
+        ap = argparse.ArgumentParser(prog="greenocr_spark export")
+        ap.add_argument("--input", required=True)
+        ap.add_argument("--output", required=True)
+        ap.add_argument("--seq-len", type=int, default=256)
+        ap.add_argument("--rows-per-shard", type=int, default=100_000)
+        ap.add_argument("--seed", type=int, default=42)
+        ap.add_argument("--no-resume", action="store_true")
+        a = ap.parse_args(rest)
+        from greenocr_spark.plans.export import run_export_job
+        from greenocr_spark.session import build_session
+
+        spark = build_session(app_name="export")
+        spark.sparkContext.setLogLevel("WARN")
+        stats = run_export_job(
+            spark,
+            spark.read.parquet(a.input),
+            a.output,
+            seq_len=a.seq_len,
+            rows_per_shard=a.rows_per_shard,
+            seed=a.seed,
+            resume=not a.no_resume,
+        )
+        print(json.dumps(stats))
         spark.stop()
         return 0
     print(f"unknown command: {cmd}\n{__doc__}", file=sys.stderr)

@@ -1,0 +1,198 @@
+"""Training-shard export job: chunk → shuffle → shard over a curated
+(doc_id, text) corpus — the dataset-builder step that follows curation
+(plans/curate.py) and precedes training.
+
+Pipeline (fully deterministic, seed-parameterized):
+
+1. **chunk** — fixed seq_len token chunks with stable (doc_id, chunk_idx)
+   addresses (the chk1 kernel shape): narrow one-to-many projection, the
+   word array materialized once per row, zero shuffles.
+2. **shuffle** — every chunk gets a reproducible global position in a
+   seeded pseudorandom permutation (the shuf1 two-phase block-ranking
+   shape, keyed by md5(doc_id:chunk_idx:seed)): the key's 2-hex-char
+   prefix buckets rows into 256 uniform blocks, per-block counts get
+   block-start offsets from a window over the 256-row block table only,
+   and blocks rank locally in parallel — no global-order window ever
+   sees the corpus.
+3. **shard** — shard_id = floor(pos / rows_per_shard): EXACT integer
+   arithmetic, deliberately not a sampling-based range partitioner, so
+   shard membership is identical run-over-run; one repartition on
+   shard_id + sortWithinPartitions(pos) + partitionBy(shard_id) write
+   gives exactly one file per shard, each internally in training order.
+4. **manifest** — per-shard (n_rows, min_pos, max_pos, n_tokens) rows
+   plus a params fingerprint (seq_len/rows_per_shard/seed) committed
+   with the shards; a rerun against an existing out_dir with different
+   params fails loudly instead of silently mixing layouts (the
+   plans/incremental.py layout-guard lesson, ADVICE r02).
+
+Resume: with resume=True (default) a committed manifest whose params
+match is returned as-is — the export is a no-op. The job is end-to-end
+deterministic, so a forced rerun reproduces identical shard contents
+(pinned by tests/test_export.py).
+
+Scale shape at 10^12 docs: two key-partitioned shuffles total (the
+256-block ranking exchange and the shard_id exchange); rows_per_shard
+sizes output files independently of executor count, and no stage ever
+funnels the corpus through one partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from greenocr_spark.battery_ml import _spark_words
+
+EXPORT_MANIFEST_COLS = ["shard_id", "n_rows", "min_pos", "max_pos", "n_tokens"]
+
+
+def chunk_corpus(docs: DataFrame, seq_len: int) -> DataFrame:
+    """Fixed-size token chunks with stable (doc_id, chunk_idx) addresses."""
+    d = (
+        docs.select("doc_id", _spark_words().alias("ws"))
+        .filter(F.size("ws") > 0)
+        .withColumn(
+            "n_chunks", F.ceil(F.size("ws") / F.lit(float(seq_len))).cast("int")
+        )
+    )
+    g = F.col("g")
+    return d.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("g"),
+    ).select(
+        "doc_id",
+        g.cast("int").alias("chunk_idx"),
+        F.array_join(F.slice("ws", g * seq_len + 1, seq_len), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(seq_len), F.size("ws") - g * seq_len)
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
+def shuffle_positions(chunks: DataFrame, seed: int) -> DataFrame:
+    """Seeded deterministic global permutation over chunks (shuf1 shape)."""
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("chunk_idx").cast("string"),
+            F.lit(str(seed)),
+        )
+    )
+    c = chunks.withColumn("skey", key).withColumn(
+        "blk", F.substring("skey", 1, 2)
+    )
+    blk_n = c.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = blk_n.select(
+        "blk", F.coalesce(F.sum("n").over(w_blk), F.lit(0)).alias("off")
+    )
+    w_loc = Window.partitionBy("blk").orderBy("skey", "doc_id", "chunk_idx")
+    return (
+        c.join(F.broadcast(offsets), "blk")
+        .withColumn(
+            "pos",
+            (F.col("off") + F.row_number().over(w_loc) - 1).cast("long"),
+        )
+        .drop("skey", "blk", "off")
+    )
+
+
+def _params_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_export_params.json")
+
+
+def _check_or_commit_params(out_dir: str, params: dict) -> None:
+    path = _params_path(out_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            committed = json.load(f)
+        if committed != params:
+            raise ValueError(
+                f"export params drift at {out_dir}: committed={committed} "
+                f"requested={params} — shards on disk were built under a "
+                "different layout; export to a fresh out_dir or delete it"
+            )
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def read_export_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "manifest"))
+
+
+def run_export_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    seq_len: int = 256,
+    rows_per_shard: int = 100_000,
+    seed: int = 42,
+    resume: bool = True,
+) -> dict:
+    """Export docs as shuffled training shards; returns summary stats."""
+    params = {
+        "seq_len": int(seq_len),
+        "rows_per_shard": int(rows_per_shard),
+        "seed": int(seed),
+    }
+    _check_or_commit_params(out_dir, params)
+    manifest_dir = os.path.join(out_dir, "manifest")
+    if resume and os.path.exists(os.path.join(manifest_dir, "_SUCCESS")):
+        m = spark.read.parquet(manifest_dir)
+        agg = m.agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_rows").alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).collect()[0]
+        return {
+            "resumed": True,
+            "n_shards": agg["n_shards"],
+            "n_chunks": int(agg["n_chunks"]),
+            "n_tokens": int(agg["n_tokens"]),
+            **params,
+        }
+
+    shuffled = shuffle_positions(chunk_corpus(docs, seq_len), seed)
+    sharded = shuffled.withColumn(
+        "shard_id", F.floor(F.col("pos") / F.lit(rows_per_shard)).cast("long")
+    )
+    # one task per shard → exactly one file per shard, sorted by pos inside
+    (
+        sharded.repartition("shard_id")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(out_dir, "shards"))
+    )
+    shards = spark.read.parquet(os.path.join(out_dir, "shards"))
+    manifest = shards.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(manifest_dir)
+    agg = manifest.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n_rows").alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).collect()[0]
+    return {
+        "resumed": False,
+        "n_shards": agg["n_shards"],
+        "n_chunks": int(agg["n_chunks"]),
+        "n_tokens": int(agg["n_tokens"]),
+        **params,
+    }

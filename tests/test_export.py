@@ -1,0 +1,127 @@
+"""Export-job invariants: the shard set is a complete seeded permutation,
+shards reassemble to the canonical corpus, the layout is deterministic
+run-over-run, resume is a no-op, and params drift fails loudly."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from greenocr_spark.plans.export import (
+    chunk_corpus,
+    read_export_manifest,
+    run_export_job,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _layout_hash(spark, out_dir: str) -> str:
+    rows = (
+        spark.read.parquet(f"{out_dir}/shards")
+        .select("pos", "doc_id", "chunk_idx", "shard_id")
+        .orderBy("pos")
+        .collect()
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(f"{r['pos']}|{r['doc_id']}|{r['chunk_idx']}|{r['shard_id']}\n".encode())
+    return h.hexdigest()
+
+
+def test_export_permutation_and_shard_bounds(spark, tmp_path):
+    out = str(tmp_path / "exp")
+    stats = run_export_job(
+        spark, _docs(spark), out, seq_len=16, rows_per_shard=500, seed=7
+    )
+    shards = spark.read.parquet(f"{out}/shards")
+    n = shards.count()
+    assert stats["n_chunks"] == n and not stats["resumed"]
+    # positions are exactly 0..n-1
+    agg = shards.agg(
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("d"),
+    ).collect()[0]
+    assert (agg["lo"], agg["hi"], agg["d"]) == (0, n - 1, n)
+    # every shard holds exactly its contiguous pos range
+    for m in read_export_manifest(spark, out).collect():
+        assert m["min_pos"] == m["shard_id"] * 500
+        assert m["n_rows"] == m["max_pos"] - m["min_pos"] + 1
+        assert m["n_rows"] <= 500
+
+
+def test_export_shards_reassemble_to_corpus(spark, tmp_path):
+    out = str(tmp_path / "exp")
+    run_export_job(spark, _docs(spark), out, seq_len=16, rows_per_shard=500, seed=7)
+    shards = spark.read.parquet(f"{out}/shards")
+    rebuilt = (
+        shards.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    canon = _docs(spark).select(
+        "doc_id", F.array_join(F.split(F.trim("text"), r"\s+"), " ").alias("canon")
+    )
+    bad = (
+        rebuilt.join(canon, "doc_id")
+        .filter(F.col("rebuilt") != F.col("canon"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_export_deterministic_and_resume(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    docs = _docs(spark)
+    s1 = run_export_job(spark, docs, a, seq_len=16, rows_per_shard=500, seed=7)
+    s2 = run_export_job(spark, docs, b, seq_len=16, rows_per_shard=500, seed=7)
+    assert s1["n_chunks"] == s2["n_chunks"]
+    assert _layout_hash(spark, a) == _layout_hash(spark, b)
+    # a different seed yields a different permutation over the same chunks
+    c = str(tmp_path / "c")
+    run_export_job(spark, docs, c, seq_len=16, rows_per_shard=500, seed=8)
+    assert _layout_hash(spark, c) != _layout_hash(spark, a)
+    # resume: second run against a committed dir is a manifest read
+    s3 = run_export_job(spark, docs, a, seq_len=16, rows_per_shard=500, seed=7)
+    assert s3["resumed"] and s3["n_chunks"] == s1["n_chunks"]
+
+
+def test_export_params_drift_raises(spark, tmp_path):
+    out = str(tmp_path / "exp")
+    docs = _docs(spark)
+    run_export_job(spark, docs, out, seq_len=16, rows_per_shard=500, seed=7)
+    with pytest.raises(ValueError, match="params drift"):
+        run_export_job(spark, docs, out, seq_len=32, rows_per_shard=500, seed=7)
+
+
+def test_export_chunk_counts_match_token_totals(spark, tmp_path):
+    docs = _docs(spark)
+    chunks = chunk_corpus(docs, 16)
+    per_doc = chunks.groupBy("doc_id").agg(F.sum("n_tokens").alias("nt"))
+    direct = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("nt2")
+    ).filter(F.col("nt2") > 0)
+    bad = (
+        per_doc.join(direct, "doc_id")
+        .filter(F.col("nt") != F.col("nt2"))
+        .count()
+    )
+    assert bad == 0
