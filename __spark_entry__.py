@@ -81,6 +81,7 @@ _ROUND3_PRIORITY = [
     "cdc1_snapshot_diff",
     "idx1_inverted_index",
     "tok1_pretokenize",
+    "st9_stream_dedup",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

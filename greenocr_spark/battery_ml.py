@@ -3061,3 +3061,59 @@ def tok1_pretokenize(spark, sf_dir):
             .alias("n_punct"),
         )
     )
+
+
+def _stream_documents_dir(sf_dir: str) -> str:
+    """documents.parquet exposed through a symlinked dir for the file
+    streaming source (same pattern as _stream_events_dir)."""
+    import hashlib as _hashlib
+
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = f"/tmp/greenocr_stream_docs_{key}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    try:
+        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    except FileExistsError:
+        pass
+    return stream_dir
+
+
+@q(
+    "st9_stream_dedup",
+    """SELECT source, count(DISTINCT md5(text)) AS n_unique
+       FROM documents GROUP BY source""",
+)
+def st9_stream_dedup(spark, sf_dir):
+    # §2.10 + dedup: EXACT DEDUP ON INGEST — streaming dropDuplicates over
+    # the content hash, the stateful operator a crawl pipeline runs at the
+    # front door so downstream storage never sees a duplicate. Keyed on
+    # (source, hash): WHICH duplicate row survives a streaming dedup is
+    # nondeterministic, but the per-source set of distinct hashes is not —
+    # that makes the face oracle-checkable. State is the hash set; at
+    # 10^12 docs bound it with a watermark on ingest time
+    # (dropDuplicatesWithinWatermark) — here the fixture drains in one
+    # availableNow batch, so the unbounded form is exact.
+    import uuid as _uuid
+
+    schema = t(spark, sf_dir, "documents").schema
+    name = f"st9_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stream_documents_dir(sf_dir))
+        .select("source", F.md5("text").alias("h"))
+        .dropDuplicates(["source", "h"])
+    )
+    qh = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+    )
