@@ -125,3 +125,40 @@ def test_export_chunk_counts_match_token_totals(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_curate_then_export_end_to_end(spark, tmp_path):
+    """The full platform path: raw docs → curate job (quality gates +
+    dedup) → export job (chunk + shuffle + shard). The shard set must be
+    a complete permutation over exactly the CURATED survivors' chunks,
+    and reassembling any shard row's doc must reproduce the curated text."""
+    from greenocr_spark.plans.curate import run_curate_job
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    curated = run_curate_job(
+        spark,
+        docs,
+        str(tmp_path / "cur"),
+        min_tokens=5,
+        max_dup_bigram_frac=0.9,
+        neardup=False,  # keep the integration test light; dd-chain has its own soak
+        resample=False,
+    )
+    n_curated = curated.count()
+    assert 0 < n_curated <= docs.count()
+
+    out = str(tmp_path / "exp")
+    stats = run_export_job(
+        spark, curated.select("doc_id", "text"), out,
+        seq_len=16, rows_per_shard=500, seed=7,
+    )
+    shards = spark.read.parquet(f"{out}/shards")
+    # every curated doc (non-empty) appears; no non-curated doc leaks in
+    doc_ids_exp = {r["doc_id"] for r in shards.select("doc_id").distinct().collect()}
+    doc_ids_cur = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert doc_ids_exp <= doc_ids_cur
+    assert len(doc_ids_cur - doc_ids_exp) == 0  # fixture texts are non-empty
+    # permutation completeness over the composed output
+    n = shards.count()
+    assert n == stats["n_chunks"]
+    assert shards.select("pos").distinct().count() == n
