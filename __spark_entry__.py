@@ -82,6 +82,7 @@ _ROUND3_PRIORITY = [
     "idx1_inverted_index",
     "tok1_pretokenize",
     "st9_stream_dedup",
+    "ann4_ivf_sq8",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

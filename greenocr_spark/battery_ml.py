@@ -3117,3 +3117,115 @@ def st9_stream_dedup(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
     )
+
+
+@q(
+    "ann4_ivf_sq8",
+    f"""WITH {_IVF_CENTROID},
+    b AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                 {_Q1_SCALE} AS sc
+          FROM embeddings),
+    z AS (SELECT vec_id, label, emb,
+                 list_transform(emb, x ->
+                     greatest(-127.0, least(127.0, floor(x / sc + 0.5)))) AS qc
+          FROM b),
+    qv AS (SELECT qc AS qq, emb AS qemb FROM z WHERE vec_id = 0),
+    probe AS (
+        SELECT c.label FROM centroids c, qv
+        ORDER BY list_sum(list_transform(range(1, 65), i -> c.cent[i] * qv.qemb[i]))
+                 / (sqrt(list_sum(list_transform(c.cent, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv.qemb, x -> x * x)))) DESC,
+                 c.label
+        LIMIT 2),
+    r AS (SELECT e.vec_id, e.label,
+                 list_sum(list_transform(range(1, 65), i -> e.qc[i] * q.qq[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65), i -> e.qc[i] * e.qc[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65), i -> q.qq[i] * q.qq[i])))) AS cq
+          FROM z e JOIN probe p ON e.label = p.label, qv q
+          WHERE e.vec_id <> 0)
+    SELECT vec_id, label, round(cq, 4) AS cos_q
+    FROM r ORDER BY round(cq, 4) DESC, vec_id LIMIT 5""",
+)
+def ann4_ivf_sq8(spark, sf_dir):
+    # IVF-SQ8 — the FAISS index shape for billion-to-trillion-vector search:
+    # a coarse quantizer (IVF inverted lists, ann3's kernel) prunes the scan
+    # to nprobe/nlists of the corpus, and the refine inside probed lists
+    # runs on int8 SCALAR-QUANTIZED codes (quant1's kernel) so the resident
+    # index is ~4x smaller than float32. Probing uses the exact query
+    # against the tiny broadcast centroid table; the refine ranking is
+    # integer-exact in float64, so the oracle match is deterministic.
+    # Plan: one groupBy to train + two broadcasts + semi-join pruned scan —
+    # the corpus is never shuffled, never scanned beyond the probed lists.
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+        )
+
+    base = e.select(
+        "vec_id",
+        "label",
+        dbl.alias("emb"),
+        F.greatest(
+            F.array_max(F.transform(dbl, lambda x: F.abs(x))) / F.lit(127.0),
+            F.lit(1e-12),
+        ).alias("sc"),
+    )
+    z = base.select(
+        "vec_id",
+        "label",
+        "emb",
+        F.transform(
+            F.col("emb"),
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(x / F.col("sc") + F.lit(0.5)).cast("double"),
+                ),
+            ),
+        ).alias("qc"),
+    )
+    qv = z.filter(F.col("vec_id") == 0).select(
+        F.col("qc").alias("qq"), F.col("emb").alias("qemb")
+    )
+    cent = (
+        e.select("label", F.posexplode(dbl).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+        .select("label", F.transform("s", lambda st: st["m"]).alias("cent"))
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(qv))
+        .select(
+            "label",
+            (
+                dot(F.col("cent"), F.col("qemb"))
+                / (norm(F.col("cent")) * norm(F.col("qemb")))
+            ).alias("c"),
+        )
+        .orderBy(F.desc("c"), "label")
+        .limit(2)
+        .select("label")
+    )
+    cq = dot(F.col("qc"), F.col("qq")) / (
+        norm(F.col("qc")) * norm(F.col("qq"))
+    )
+    return (
+        z.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "label", "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", F.round(cq, 4).alias("cos_q"))
+        .orderBy(F.desc("cos_q"), "vec_id")
+        .limit(5)
+    )

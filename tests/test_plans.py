@@ -294,3 +294,14 @@ def test_tok1_narrow_pruned(spark):
     p = plan_of(_q(spark, "tok1_pretokenize"))
     assert "Exchange" not in p
     assert "struct<doc_id:bigint,text:string>" in p
+
+
+def test_ann4_pruned_scan_no_corpus_shuffle(spark):
+    # IVF-SQ8: centroid table + probe list + query vector all broadcast;
+    # the corpus side is a semi-join-pruned scan — no SMJ, no nested-loop
+    # against the corpus beyond the 1-row query cross join.
+    p = plan_of(_q(spark, "ann4_ivf_sq8"))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
