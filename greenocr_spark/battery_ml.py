@@ -1841,31 +1841,19 @@ def samp2_mixture_resample(spark, sf_dir):
     )
 
 
-@q(
-    "chk1_token_chunks",
-    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
-    c AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 8.0) AS INT) AS n_chunks
-          FROM w WHERE len(ws) > 0)
-    SELECT doc_id, CAST(g AS INT) AS chunk_idx,
-           array_to_string(ws[g*8+1 : g*8+8], ' ') AS chunk_text,
-           CAST(least(8, len(ws) - g*8) AS INT) AS n_tokens
-    FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(g)""",
-)
-def chk1_token_chunks(spark, sf_dir):
-    # Sequence packing: split each document's token stream into fixed-size
-    # chunks (here 8 tokens) with stable (doc_id, chunk_idx) addresses —
-    # the context-window packing step of LLM training-data prep. The word
-    # array is materialized ONCE per row; explode(sequence(...)) fans out
-    # to chunk starts and slice() reads the shared array — a narrow
-    # one-to-many projection, zero shuffles, embarrassingly parallel at
-    # 10^12 docs. Chunk counts are data-derived, so no padding rows exist
-    # to begin with (the X2 dynamic-padding lesson applied to text).
+def chunk_corpus(docs, seq_len: int):
+    """Shared sequence-packing kernel (chk1 + plans/export.py): fixed-size
+    token chunks with stable (doc_id, chunk_idx) addresses. The word array
+    is materialized ONCE per row; explode(sequence(...)) fans out to chunk
+    starts and slice() reads the shared array — a narrow one-to-many
+    projection, zero shuffles, embarrassingly parallel at 10^12 docs.
+    Empty/whitespace-only docs are dropped here (split('', '\\s+') yields
+    [''], so a bare size(ws) > 0 guard would emit a ghost chunk)."""
     d = (
-        t(spark, sf_dir, "documents")
+        docs.filter(F.trim(F.col("text")) != "")
         .select("doc_id", _spark_words().alias("ws"))
-        .filter(F.size("ws") > 0)
         .withColumn(
-            "n_chunks", F.ceil(F.size("ws") / F.lit(8.0)).cast("int")
+            "n_chunks", F.ceil(F.size("ws") / F.lit(float(seq_len))).cast("int")
         )
     )
     g = F.col("g")
@@ -1878,12 +1866,33 @@ def chk1_token_chunks(spark, sf_dir):
         .select(
             "doc_id",
             g.cast("int").alias("chunk_idx"),
-            F.array_join(F.slice("ws", g * 8 + 1, 8), " ").alias("chunk_text"),
-            F.least(F.lit(8), F.size("ws") - g * 8).cast("int").alias(
-                "n_tokens"
+            F.array_join(F.slice("ws", g * seq_len + 1, seq_len), " ").alias(
+                "chunk_text"
             ),
+            F.least(F.lit(seq_len), F.size("ws") - g * seq_len)
+            .cast("int")
+            .alias("n_tokens"),
         )
     )
+
+
+@q(
+    "chk1_token_chunks",
+    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents
+                   WHERE trim(text) <> ''),
+    c AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 8.0) AS INT) AS n_chunks
+          FROM w WHERE len(ws) > 0)
+    SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+           array_to_string(ws[g*8+1 : g*8+8], ' ') AS chunk_text,
+           CAST(least(8, len(ws) - g*8) AS INT) AS n_tokens
+    FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(g)""",
+)
+def chk1_token_chunks(spark, sf_dir):
+    # Sequence packing (the context-window packing step of LLM training-data
+    # prep) at 8 tokens per chunk — delegates to the shared chunk_corpus
+    # kernel, which plans/export.py runs in production at seq_len 256, so
+    # the oracle-checked query and the job can never silently diverge.
+    return chunk_corpus(t(spark, sf_dir, "documents"), 8)
 
 
 @q(
@@ -2340,23 +2349,28 @@ def _fixture_pages_path(n: int) -> str:
 # =========================================================================
 
 
-def _stream_events_dir(sf_dir: str) -> str:
+def _stream_table_dir(sf_dir: str, table: str) -> str:
     """Staging dir for the file streaming source (it requires a directory):
-    expose the single events parquet through a symlinked dir keyed on
-    sf_dir (read-only testdata untouched). Shared by every st* query."""
+    expose a single table parquet through a symlinked dir keyed on
+    (sf_dir, table) — read-only testdata untouched. Shared by every st*
+    query."""
     import hashlib as _hashlib
 
-    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = f"/tmp/greenocr_stream_events_{key}"
+    key = _hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:8]
+    stream_dir = f"/tmp/greenocr_stream_{table.split('.')[0]}_{key}"
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
+    link = os.path.join(stream_dir, table)
     try:
         # idempotent create — a concurrent process sharing this sf_dir may
         # win the race between an exists() check and symlink() (ADVICE r02)
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        os.symlink(os.path.abspath(f"{sf_dir}/{table}"), link)
     except FileExistsError:
         pass
     return stream_dir
+
+
+def _stream_events_dir(sf_dir: str) -> str:
+    return _stream_table_dir(sf_dir, "events.parquet")
 
 
 @q(
@@ -3064,19 +3078,7 @@ def tok1_pretokenize(spark, sf_dir):
 
 
 def _stream_documents_dir(sf_dir: str) -> str:
-    """documents.parquet exposed through a symlinked dir for the file
-    streaming source (same pattern as _stream_events_dir)."""
-    import hashlib as _hashlib
-
-    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = f"/tmp/greenocr_stream_docs_{key}"
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    try:
-        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
-    except FileExistsError:
-        pass
-    return stream_dir
+    return _stream_table_dir(sf_dir, "documents.parquet")
 
 
 @q(
@@ -3111,7 +3113,8 @@ def st9_stream_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    qh.awaitTermination(120)
+    if not qh.awaitTermination(600):
+        raise TimeoutError("st9 stream did not drain within 600s")
     return (
         spark.table(name)
         .groupBy("source")
@@ -3194,8 +3197,17 @@ def ann4_ivf_sq8(spark, sf_dir):
             ),
         ).alias("qc"),
     )
+    # query-side norms are loop-invariant: computed ONCE in the 1-row
+    # broadcast side (the same hoist quant1 applies), bit-identical results
     qv = z.filter(F.col("vec_id") == 0).select(
-        F.col("qc").alias("qq"), F.col("emb").alias("qemb")
+        F.col("qc").alias("qq"),
+        F.col("emb").alias("qemb"),
+    )
+    qv = qv.select(
+        "qq",
+        "qemb",
+        norm(F.col("qq")).alias("qqn"),
+        norm(F.col("qemb")).alias("qen"),
     )
     cent = (
         e.select("label", F.posexplode(dbl).alias("i", "x"))
@@ -3211,16 +3223,14 @@ def ann4_ivf_sq8(spark, sf_dir):
             "label",
             (
                 dot(F.col("cent"), F.col("qemb"))
-                / (norm(F.col("cent")) * norm(F.col("qemb")))
+                / (norm(F.col("cent")) * F.col("qen"))
             ).alias("c"),
         )
         .orderBy(F.desc("c"), "label")
         .limit(2)
         .select("label")
     )
-    cq = dot(F.col("qc"), F.col("qq")) / (
-        norm(F.col("qc")) * norm(F.col("qq"))
-    )
+    cq = dot(F.col("qc"), F.col("qq")) / (norm(F.col("qc")) * F.col("qqn"))
     return (
         z.filter(F.col("vec_id") != 0)
         .join(F.broadcast(probe), "label", "left_semi")

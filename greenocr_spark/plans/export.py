@@ -44,35 +44,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from greenocr_spark.battery_ml import _spark_words
+# the chunking kernel is shared with the oracle-checked chk1_token_chunks
+# battery entry (battery_ml.chunk_corpus) so query and job cannot diverge
+from greenocr_spark.battery_ml import chunk_corpus  # noqa: F401  (re-export)
 
 EXPORT_MANIFEST_COLS = ["shard_id", "n_rows", "min_pos", "max_pos", "n_tokens"]
-
-
-def chunk_corpus(docs: DataFrame, seq_len: int) -> DataFrame:
-    """Fixed-size token chunks with stable (doc_id, chunk_idx) addresses."""
-    d = (
-        docs.select("doc_id", _spark_words().alias("ws"))
-        .filter(F.size("ws") > 0)
-        .withColumn(
-            "n_chunks", F.ceil(F.size("ws") / F.lit(float(seq_len))).cast("int")
-        )
-    )
-    g = F.col("g")
-    return d.select(
-        "doc_id",
-        "ws",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("g"),
-    ).select(
-        "doc_id",
-        g.cast("int").alias("chunk_idx"),
-        F.array_join(F.slice("ws", g * seq_len + 1, seq_len), " ").alias(
-            "chunk_text"
-        ),
-        F.least(F.lit(seq_len), F.size("ws") - g * seq_len)
-        .cast("int")
-        .alias("n_tokens"),
-    )
 
 
 def shuffle_positions(chunks: DataFrame, seed: int) -> DataFrame:
@@ -149,31 +125,28 @@ def run_export_job(
     _check_or_commit_params(out_dir, params)
     manifest_dir = os.path.join(out_dir, "manifest")
     if resume and os.path.exists(os.path.join(manifest_dir, "_SUCCESS")):
-        m = spark.read.parquet(manifest_dir)
-        agg = m.agg(
-            F.count(F.lit(1)).alias("n_shards"),
-            F.sum("n_rows").alias("n_chunks"),
-            F.sum("n_tokens").alias("n_tokens"),
-        ).collect()[0]
-        return {
-            "resumed": True,
-            "n_shards": agg["n_shards"],
-            "n_chunks": int(agg["n_chunks"]),
-            "n_tokens": int(agg["n_tokens"]),
-            **params,
-        }
+        return _stats_from_manifest(spark, manifest_dir, params, resumed=True)
 
+    if docs.isEmpty():
+        raise ValueError(
+            "export input is empty — nothing to shard (wrong --input path, "
+            "or curation filtered every document)"
+        )
     shuffled = shuffle_positions(chunk_corpus(docs, seq_len), seed)
     sharded = shuffled.withColumn(
         "shard_id", F.floor(F.col("pos") / F.lit(rows_per_shard)).cast("long")
     )
-    # one task per shard → exactly one file per shard, sorted by pos inside
+    # one task per shard → exactly one file per shard, sorted by pos inside.
+    # STATIC overwrite: a forced rerun over a smaller input must remove the
+    # old run's higher-numbered shard partitions — dynamic mode would leave
+    # them on disk and the read-back manifest would silently bless a mix of
+    # two corpora.
     (
         sharded.repartition("shard_id")
         .sortWithinPartitions("pos")
         .write.mode("overwrite")
         .partitionBy("shard_id")
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", "static")
         .parquet(os.path.join(out_dir, "shards"))
     )
     shards = spark.read.parquet(os.path.join(out_dir, "shards"))
@@ -184,13 +157,25 @@ def run_export_job(
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(manifest_dir)
-    agg = manifest.agg(
-        F.count(F.lit(1)).alias("n_shards"),
-        F.sum("n_rows").alias("n_chunks"),
-        F.sum("n_tokens").alias("n_tokens"),
-    ).collect()[0]
+    # stats come from the 1-file manifest just written, not a second full
+    # scan of every shard file
+    return _stats_from_manifest(spark, manifest_dir, params, resumed=False)
+
+
+def _stats_from_manifest(
+    spark: SparkSession, manifest_dir: str, params: dict, resumed: bool
+) -> dict:
+    agg = (
+        spark.read.parquet(manifest_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_rows").alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .collect()[0]
+    )
     return {
-        "resumed": False,
+        "resumed": resumed,
         "n_shards": agg["n_shards"],
         "n_chunks": int(agg["n_chunks"]),
         "n_tokens": int(agg["n_tokens"]),

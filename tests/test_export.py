@@ -162,3 +162,44 @@ def test_curate_then_export_end_to_end(spark, tmp_path):
     n = shards.count()
     assert n == stats["n_chunks"]
     assert shards.select("pos").distinct().count() == n
+
+
+def test_export_forced_rerun_removes_stale_shards(spark, tmp_path):
+    """Static overwrite regression: a forced (resume=False) rerun over a
+    SMALLER input must not leave the old run's higher-numbered shard
+    partitions on disk — dynamic overwrite did, and the read-back manifest
+    then blessed a mix of two corpora."""
+    out = str(tmp_path / "exp")
+    docs = _docs(spark)
+    big = run_export_job(spark, docs, out, seq_len=16, rows_per_shard=200, seed=7)
+    small_docs = docs.limit(50)
+    small = run_export_job(
+        spark, small_docs, out, seq_len=16, rows_per_shard=200, seed=7,
+        resume=False,
+    )
+    assert small["n_shards"] < big["n_shards"]
+    shards = spark.read.parquet(f"{out}/shards")
+    n = shards.count()
+    assert n == small["n_chunks"]
+    # positions are exactly 0..n-1 again — no stale rows from the big run
+    assert shards.agg(F.max("pos")).collect()[0][0] == n - 1
+    assert shards.select("pos").distinct().count() == n
+
+
+def test_export_drops_empty_and_whitespace_docs(spark, tmp_path):
+    """split('', '\\s+') yields [''], so a bare size>0 guard emits a ghost
+    chunk for empty docs; the shared kernel must drop them entirely."""
+    rows = [(0, "real words here"), (1, ""), (2, "   "), (3, "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "exp")
+    stats = run_export_job(spark, docs, out, seq_len=2, rows_per_shard=100, seed=7)
+    shards = spark.read.parquet(f"{out}/shards")
+    assert {r["doc_id"] for r in shards.select("doc_id").distinct().collect()} == {0, 3}
+    assert stats["n_tokens"] == 4  # 3 + 1, no ghost tokens from docs 1/2
+
+
+def test_export_empty_input_raises_clearly(spark, tmp_path):
+    docs = _docs(spark).filter(F.lit(False))
+    with pytest.raises(ValueError, match="input is empty"):
+        run_export_job(spark, docs, str(tmp_path / "exp"), seq_len=16,
+                       rows_per_shard=100, seed=7)

@@ -275,9 +275,17 @@ def test_cdc1_hashes_before_join(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "partial_count" in p
     import re
-    # no Exchange may ship the raw text column
-    for m in re.finditer(r"Exchange [^\n]*", p):
-        assert "text" not in m.group(0), m.group(0)
+    # no Exchange may ship the raw text column: read each Exchange node's
+    # detail block and inspect its Input column list (the tree lines
+    # "Exchange (4)" carry no columns, so matching them alone proves nothing)
+    blocks = re.findall(
+        r"\(\d+\) Exchange\n(?:[^\n]*\n)*?Input \[\d+\]: \[([^\]]*)\]", p
+    )
+    assert blocks, p  # the guard must actually see Exchange detail blocks
+    for cols in blocks:
+        for c in cols.split(","):
+            name = c.strip()
+            assert not (name == "text" or name.startswith("text#")), p
 
 
 def test_idx1_bounded_postings_one_exchange_family(spark):
