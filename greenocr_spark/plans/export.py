@@ -89,13 +89,19 @@ def _check_or_commit_params(out_dir: str, params: dict) -> None:
     if os.path.exists(path):
         with open(path) as f:
             committed = json.load(f)
-        if committed != params:
+        if committed == params:
+            return
+        # the manifest's _SUCCESS is the durable commit marker: if it never
+        # landed, the prior run crashed before producing anything a resume
+        # could consume, so adopting new params is safe (the shard write is
+        # a static overwrite); with a committed manifest, params drift would
+        # silently mix layouts — fail loudly instead
+        if os.path.exists(os.path.join(out_dir, "manifest", "_SUCCESS")):
             raise ValueError(
                 f"export params drift at {out_dir}: committed={committed} "
                 f"requested={params} — shards on disk were built under a "
                 "different layout; export to a fresh out_dir or delete it"
             )
-        return
     os.makedirs(out_dir, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
