@@ -83,6 +83,7 @@ _ROUND3_PRIORITY = [
     "tok1_pretokenize",
     "st9_stream_dedup",
     "ann4_ivf_sq8",
+    "pr1_host_rank",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

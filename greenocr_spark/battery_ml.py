@@ -3239,3 +3239,71 @@ def ann4_ivf_sq8(spark, sf_dir):
         .orderBy(F.desc("cos_q"), "vec_id")
         .limit(5)
     )
+
+
+def _pr1_oracle_sql() -> str:
+    # 3 unrolled PageRank iterations as chained CTEs (DuckDB has no
+    # iterative loop; the Spark side loops over the same algebra)
+    it = """r{k} AS (
+        SELECT h.host,
+               0.15 / 20 + 0.85 * COALESCE(sum(r{p}.r / d.outdeg), 0) AS r
+        FROM h
+        LEFT JOIN e ON e.dst = h.host
+        LEFT JOIN d ON d.src = e.src
+        LEFT JOIN r{p} ON r{p}.host = e.src
+        GROUP BY h.host)"""
+    steps = ",\n    ".join(it.format(k=k, p=k - 1) for k in (1, 2, 3))
+    return f"""WITH e AS (SELECT source AS src,
+                     'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+              FROM documents),
+    d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    h AS (SELECT DISTINCT source AS host FROM documents),
+    r0 AS (SELECT host, 1.0 / 20 AS r FROM h),
+    {steps}
+    SELECT host, round(r, 6) AS rank FROM r3 ORDER BY host"""
+
+
+@q("pr1_host_rank", _pr1_oracle_sql())
+def pr1_host_rank(spark, sf_dir):
+    # Host-authority PageRank (3 damped iterations, d=0.85) — the crawl
+    # frontier's prioritization signal: which hosts deserve fetch budget.
+    # The link graph is synthesized deterministically from documents (each
+    # doc emits one edge source-host -> hash-derived target host) so the
+    # query is self-contained; the oracle unrolls the same three
+    # iterations as chained CTEs. Scale shape per iteration: the rank
+    # vector is ONE ROW PER HOST (~10^8 at web scale, KBs here) and
+    # broadcasts onto the edge table; contributions aggregate by dst with
+    # map-side partials — the edge corpus shuffles on dst once per
+    # iteration and nothing else moves. Fixed iteration count keeps the
+    # lineage bounded (the dd8 localCheckpoint lesson does not apply at 3
+    # rounds). round(6) pins away float-summation-order ulps between
+    # engines.
+    d0 = t(spark, sf_dir, "documents")
+    e = d0.select(
+        F.col("source").alias("src"),
+        F.concat(
+            F.lit("src"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+        ).alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    hosts = d0.select(F.col("source").alias("host")).distinct()
+    ranks = hosts.select("host", F.lit(1.0 / 20).alias("r"))
+    for _ in range(3):
+        contrib = (
+            e.join(F.broadcast(deg), "src")
+            .join(
+                F.broadcast(ranks.withColumnRenamed("host", "src")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("s"))
+        )
+        ranks = (
+            hosts.join(contrib.withColumnRenamed("dst", "host"), "host", "left")
+            .select(
+                "host",
+                (F.lit(0.15 / 20) + F.lit(0.85) * F.coalesce("s", F.lit(0.0))).alias(
+                    "r"
+                ),
+            )
+        )
+    return ranks.select("host", F.round("r", 6).alias("rank")).orderBy("host")

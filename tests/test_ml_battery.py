@@ -555,3 +555,33 @@ def test_tok1_classifies_known_sentence(spark, tmp_path):
     r = b.REGISTRY["tok1_pretokenize"][0](spark, str(tmp_path)).collect()[0]
     # tokens: don | 't | stop | 123 | now | !!
     assert (r["n_tok"], r["n_alpha"], r["n_num"], r["n_punct"]) == (6, 3, 1, 2)
+
+
+def test_pr1_ranks_sum_to_one_and_order_by_indegree(spark):
+    """PageRank invariants: the rank vector stays a probability
+    distribution (sums to ~1 each iteration since the graph has no
+    dangling hosts), and a host receiving more in-edges outranks one
+    receiving fewer."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = b.REGISTRY["pr1_host_rank"][0](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    ranks = {r["host"]: r["rank"] for r in rows}
+    # in-degree of host h = #docs with (doc_id*7+3)%20 == h's index; with
+    # doc_id dense 0..N-1 and gcd(7,20)=1 every residue is hit ~equally,
+    # so spreads are small — but the max-indegree host must outrank the min
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as F2
+    indeg = {
+        r["dst"]: r["n"]
+        for r in docs.select(
+            F2.concat(F2.lit("src"), ((F2.col("doc_id") * 7 + 3) % 20).cast("string")).alias("dst")
+        ).groupBy("dst").agg(F2.count(F2.lit(1)).alias("n")).collect()
+    }
+    hi = max(indeg, key=indeg.get)
+    lo = min(indeg, key=indeg.get)
+    if indeg[hi] > indeg[lo]:
+        assert ranks[hi] >= ranks[lo]
