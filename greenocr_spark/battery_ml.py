@@ -489,17 +489,22 @@ def ann1_cosine_topk(spark, sf_dir):
     # aggregate (no Python). At scale: broadcast the query vector(s), one
     # narrow pass + TakeOrdered — no shuffle of the corpus.
     e = t(spark, sf_dir, "embeddings")
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(dbl(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    # the query norm is loop-invariant: computed once in the 1-row
+    # broadcast side, not re-aggregated per corpus row (same hoist as
+    # quant1/ann4; the per-row float expression tree is unchanged)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), norm(F.col("embedding")).alias("qn")
+    )
     dot = F.aggregate(
         F.zip_with(dbl(F.col("embedding")), dbl(F.col("qe")), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(dbl(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    cos = dot / (norm(F.col("embedding")) * norm(F.col("qe")))
+    cos = dot / (norm(F.col("embedding")) * F.col("qn"))
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
@@ -794,17 +799,20 @@ def ann3_ivf_topk(spark, sf_dir):
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
         .select("label", F.transform("s", lambda st: st["m"]).alias("cent"))
     )
-    qv = e.filter(F.col("vec_id") == 0).select(dbl.alias("qe"))
+    # query norm hoisted into the 1-row broadcast side (quant1/ann4 hoist)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        dbl.alias("qe"), norm(dbl).alias("qn")
+    )
     # (2) probe: nearest 2 centroids (centroid table is tiny → broadcast)
     probe = (
         cent.crossJoin(F.broadcast(qv))
-        .select("label", (dot(F.col("cent"), F.col("qe")) / (norm(F.col("cent")) * norm(F.col("qe")))).alias("c"))
+        .select("label", (dot(F.col("cent"), F.col("qe")) / (norm(F.col("cent")) * F.col("qn"))).alias("c"))
         .orderBy(F.desc("c"), "label")
         .limit(2)
         .select("label")
     )
     # (3) refine: exact cosine within probed lists only
-    cos = dot(dbl, F.col("qe")) / (norm(dbl) * norm(F.col("qe")))
+    cos = dot(dbl, F.col("qe")) / (norm(dbl) * F.col("qn"))
     return (
         e.filter(F.col("vec_id") != 0)
         .join(F.broadcast(probe), "label", "left_semi")
