@@ -1855,11 +1855,14 @@ def chunk_corpus(docs, seq_len: int):
     is materialized ONCE per row; explode(sequence(...)) fans out to chunk
     starts and slice() reads the shared array — a narrow one-to-many
     projection, zero shuffles, embarrassingly parallel at 10^12 docs.
-    Empty/whitespace-only docs are dropped here (split('', '\\s+') yields
-    [''], so a bare size(ws) > 0 guard would emit a ghost chunk)."""
+    Empty tokens are filtered from the word array itself (split of an
+    empty/whitespace-only string yields [''] or ['','']; a trim-based
+    prefilter misses tab/newline-only docs), so whitespace-only documents
+    produce zero chunks and no ghost tokens, whatever the whitespace."""
+    ws_clean = F.filter(_spark_words(), lambda x: x != "")
     d = (
-        docs.filter(F.trim(F.col("text")) != "")
-        .select("doc_id", _spark_words().alias("ws"))
+        docs.select("doc_id", ws_clean.alias("ws"))
+        .filter(F.size("ws") > 0)
         .withColumn(
             "n_chunks", F.ceil(F.size("ws") / F.lit(float(seq_len))).cast("int")
         )
@@ -1886,8 +1889,9 @@ def chunk_corpus(docs, seq_len: int):
 
 @q(
     "chk1_token_chunks",
-    f"""WITH w AS (SELECT doc_id, {_duck_words()} AS ws FROM documents
-                   WHERE trim(text) <> ''),
+    f"""WITH w AS (SELECT doc_id,
+                          list_filter({_duck_words()}, x -> x <> '') AS ws
+                   FROM documents),
     c AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 8.0) AS INT) AS n_chunks
           FROM w WHERE len(ws) > 0)
     SELECT doc_id, CAST(g AS INT) AS chunk_idx,
@@ -2418,7 +2422,9 @@ def st1_stream_hourly(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    qh.awaitTermination(120)
+    if not qh.awaitTermination(600):
+        qh.stop()  # don't leak a running query into the session
+        raise TimeoutError("stream did not drain within 600s")
     return spark.table(name)
 
 
@@ -2456,7 +2462,9 @@ def st6_stream_static_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    qh.awaitTermination(120)
+    if not qh.awaitTermination(600):
+        qh.stop()  # don't leak a running query into the session
+        raise TimeoutError("stream did not drain within 600s")
     return spark.table(name)
 
 
@@ -2494,7 +2502,9 @@ def st3_stream_extract(spark, sf_dir):
         "url", "text", "n_blocks", "kind"
     )
     qh = run_available_now(stream, name, tempfile.mkdtemp(prefix="st3_ckpt_"))
-    qh.awaitTermination(120)
+    if not qh.awaitTermination(600):
+        qh.stop()  # don't leak a running query into the session
+        raise TimeoutError("stream did not drain within 600s")
     return spark.table(name)
 
 
@@ -2528,7 +2538,9 @@ def st4_stream_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    qh.awaitTermination(120)
+    if not qh.awaitTermination(600):
+        qh.stop()  # don't leak a running query into the session
+        raise TimeoutError("stream did not drain within 600s")
     return (
         spark.table(name)
         .groupBy("user_id", "event_type")
@@ -2592,7 +2604,9 @@ def st7_stream_stream_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    qh.awaitTermination(120)
+    if not qh.awaitTermination(600):
+        qh.stop()  # don't leak a running query into the session
+        raise TimeoutError("stream did not drain within 600s")
     return spark.table(name)
 
 
@@ -2641,7 +2655,9 @@ def st5_session_window(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    qh.awaitTermination(120)
+    if not qh.awaitTermination(600):
+        qh.stop()  # don't leak a running query into the session
+        raise TimeoutError("stream did not drain within 600s")
     return spark.table(name)
 
 
@@ -2753,7 +2769,9 @@ def st2_stateful_per_user(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    qh.awaitTermination(120)
+    if not qh.awaitTermination(600):
+        qh.stop()  # don't leak a running query into the session
+        raise TimeoutError("stream did not drain within 600s")
     # one source file → one micro-batch → one output row per user (final)
     return spark.table(name).groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
@@ -3122,6 +3140,7 @@ def st9_stream_dedup(spark, sf_dir):
         .start()
     )
     if not qh.awaitTermination(600):
+        qh.stop()  # don't leak a running query + memory sink into the session
         raise TimeoutError("st9 stream did not drain within 600s")
     return (
         spark.table(name)
@@ -3254,7 +3273,8 @@ def _pr1_oracle_sql() -> str:
     # iterative loop; the Spark side loops over the same algebra)
     it = """r{k} AS (
         SELECT h.host,
-               0.15 / 20 + 0.85 * COALESCE(sum(r{p}.r / d.outdeg), 0) AS r
+               0.15 / (SELECT count(*) FROM h)
+                 + 0.85 * COALESCE(sum(r{p}.r / d.outdeg), 0) AS r
         FROM h
         LEFT JOIN e ON e.dst = h.host
         LEFT JOIN d ON d.src = e.src
@@ -3266,7 +3286,7 @@ def _pr1_oracle_sql() -> str:
               FROM documents),
     d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
     h AS (SELECT DISTINCT source AS host FROM documents),
-    r0 AS (SELECT host, 1.0 / 20 AS r FROM h),
+    r0 AS (SELECT host, 1.0 / (SELECT count(*) FROM h) AS r FROM h),
     {steps}
     SELECT host, round(r, 6) AS rank FROM r3 ORDER BY host"""
 
@@ -3295,7 +3315,8 @@ def pr1_host_rank(spark, sf_dir):
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     hosts = d0.select(F.col("source").alias("host")).distinct()
-    ranks = hosts.select("host", F.lit(1.0 / 20).alias("r"))
+    n_hosts = hosts.count()  # host cardinality is tiny by definition
+    ranks = hosts.select("host", F.lit(1.0 / n_hosts).alias("r"))
     for _ in range(3):
         contrib = (
             e.join(F.broadcast(deg), "src")
@@ -3309,7 +3330,7 @@ def pr1_host_rank(spark, sf_dir):
             hosts.join(contrib.withColumnRenamed("dst", "host"), "host", "left")
             .select(
                 "host",
-                (F.lit(0.15 / 20) + F.lit(0.85) * F.coalesce("s", F.lit(0.0))).alias(
+                (F.lit(0.15 / n_hosts) + F.lit(0.85) * F.coalesce("s", F.lit(0.0))).alias(
                     "r"
                 ),
             )

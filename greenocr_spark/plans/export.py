@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -133,12 +134,21 @@ def run_export_job(
     if resume and os.path.exists(os.path.join(manifest_dir, "_SUCCESS")):
         return _stats_from_manifest(spark, manifest_dir, params, resumed=True)
 
-    if docs.isEmpty():
+    chunks = chunk_corpus(docs, seq_len)
+    # guard on CHUNKS, not docs: a corpus of only whitespace docs would pass
+    # a docs-level check, write zero shard files, and crash unreadably at
+    # manifest build — after the static overwrite already wiped prior shards
+    if chunks.isEmpty():
         raise ValueError(
-            "export input is empty — nothing to shard (wrong --input path, "
-            "or curation filtered every document)"
+            "export input yields no chunks — nothing to shard (wrong "
+            "--input path, empty corpus, or every document is whitespace)"
         )
-    shuffled = shuffle_positions(chunk_corpus(docs, seq_len), seed)
+    # close the stale-manifest window BEFORE touching shards: if this run
+    # dies between the shard overwrite and the manifest write, a resume
+    # must see "no committed manifest" rather than the previous run's
+    # manifest blessing shards it no longer describes
+    shutil.rmtree(manifest_dir, ignore_errors=True)
+    shuffled = shuffle_positions(chunks, seed)
     sharded = shuffled.withColumn(
         "shard_id", F.floor(F.col("pos") / F.lit(rows_per_shard)).cast("long")
     )

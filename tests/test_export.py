@@ -200,7 +200,7 @@ def test_export_drops_empty_and_whitespace_docs(spark, tmp_path):
 
 def test_export_empty_input_raises_clearly(spark, tmp_path):
     docs = _docs(spark).filter(F.lit(False))
-    with pytest.raises(ValueError, match="input is empty"):
+    with pytest.raises(ValueError, match="yields no chunks"):
         run_export_job(spark, docs, str(tmp_path / "exp"), seq_len=16,
                        rows_per_shard=100, seed=7)
 
@@ -221,3 +221,51 @@ def test_export_params_adoptable_after_crashed_first_run(spark, tmp_path):
         spark, _docs(spark), out, seq_len=16, rows_per_shard=500, seed=7
     )
     assert not stats["resumed"] and stats["n_chunks"] > 0
+
+
+def test_export_tab_newline_only_docs_dropped(spark, tmp_path):
+    """Regression for the trim-based prefilter: tab-/newline-only docs must
+    yield zero chunks (split('\\t','\\s+') gives ['',''] — two phantom
+    tokens under the old guard)."""
+    rows = [(0, "a b"), (1, "\t"), (2, "\n\n"), (3, " \t \n ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "exp")
+    stats = run_export_job(spark, docs, out, seq_len=2, rows_per_shard=10, seed=7)
+    shards = spark.read.parquet(f"{out}/shards")
+    assert {r["doc_id"] for r in shards.collect()} == {0}
+    assert stats["n_tokens"] == 2
+
+
+def test_export_crash_between_shards_and_manifest_not_blessed(spark, tmp_path):
+    """If a forced rerun dies after the shard overwrite but before the
+    manifest write, a later resume must NOT serve the previous run's
+    manifest: the manifest is invalidated before shards are touched."""
+    import os
+
+    out = str(tmp_path / "exp")
+    docs = _docs(spark)
+    run_export_job(spark, docs, out, seq_len=16, rows_per_shard=200, seed=7)
+    # simulate the crash window: manifest must already be gone right after
+    # the shard write of a rerun — emulate by invoking the rerun and killing
+    # it is flaky, so instead verify the ordering contract directly:
+    # the non-resume path removes the manifest before writing shards.
+    import greenocr_spark.plans.export as ex
+
+    calls = []
+    orig_rmtree = ex.shutil.rmtree
+
+    def spy(path, **kw):
+        calls.append(("rm", os.path.basename(path)))
+        return orig_rmtree(path, **kw)
+
+    ex.shutil.rmtree = spy
+    try:
+        run_export_job(spark, docs.limit(50), out, seq_len=16,
+                       rows_per_shard=200, seed=7, resume=False)
+    finally:
+        ex.shutil.rmtree = orig_rmtree
+    assert ("rm", "manifest") in calls
+    # and the final state is consistent: manifest describes the small run
+    small = read_export_manifest(spark, out)
+    assert small.agg(F.sum("n_rows")).collect()[0][0] == \
+        spark.read.parquet(f"{out}/shards").count()

@@ -566,7 +566,11 @@ def test_pr1_ranks_sum_to_one_and_order_by_indegree(spark):
     import greenocr_spark.battery_ml as ml  # noqa: F401
 
     rows = b.REGISTRY["pr1_host_rank"][0](spark, SF_DIR).collect()
-    assert len(rows) == 20
+    n_hosts = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("source").distinct().count()
+    )
+    assert len(rows) == n_hosts
     total = sum(r["rank"] for r in rows)
     assert abs(total - 1.0) < 1e-3
     ranks = {r["host"]: r["rank"] for r in rows}

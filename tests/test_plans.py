@@ -279,7 +279,8 @@ def test_cdc1_hashes_before_join(spark):
     # detail block and inspect its Input column list (the tree lines
     # "Exchange (4)" carry no columns, so matching them alone proves nothing)
     blocks = re.findall(
-        r"\(\d+\) Exchange\n(?:[^\n]*\n)*?Input \[\d+\]: \[([^\]]*)\]", p
+        r"\(\d+\) (?:Broadcast)?Exchange\n(?:[^\n]*\n)*?Input \[\d+\]: \[([^\]]*)\]",
+        p,
     )
     assert blocks, p  # the guard must actually see Exchange detail blocks
     for cols in blocks:
