@@ -84,6 +84,7 @@ _ROUND3_PRIORITY = [
     "st9_stream_dedup",
     "ann4_ivf_sq8",
     "pr1_host_rank",
+    "gr1_doc_triangles",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

@@ -3336,3 +3336,62 @@ def pr1_host_rank(spark, sf_dir):
             )
         )
     return ranks.select("host", F.round("r", 6).alias("rank")).orderBy("host")
+
+
+@q(
+    "gr1_doc_triangles",
+    """WITH raw AS (
+        SELECT doc_id AS u,
+               (doc_id + 1) % (SELECT count(*) FROM documents) AS v
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % (SELECT count(*) FROM documents)
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT count(*) FROM documents)
+        FROM documents),
+    e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v)
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+)
+def gr1_doc_triangles(spark, sf_dir):
+    # Triangle counting — the canonical multi-way self-join graph workload
+    # (clustering-coefficient numerator; LDBC/graph-benchmark staple). The
+    # doc graph is synthesized deterministically (ring + skip + hash edges,
+    # so every doc closes at least one triangle and the count is
+    # non-trivial). Edges canonicalize to a < b, so each triangle
+    # (x < y < z) is counted exactly once by the two equi-joins. Scale
+    # shape: both joins are key-partitioned shuffles over the edge list —
+    # never a cartesian; at 10^12 edges the standard refinement is
+    # degree-ordering the endpoints so the join multiplicity is bounded by
+    # max degree, which this id-ordering approximates on a near-regular
+    # graph.
+    d0 = t(spark, sf_dir, "documents")
+    n = d0.count()  # same scalar the oracle's subquery computes
+    u = F.col("doc_id")
+    raw = (
+        d0.select(u.alias("u"), ((u + 1) % n).alias("v"))
+        .unionAll(d0.select(u.alias("u"), ((u + 2) % n).alias("v")))
+        .unionAll(d0.select(u.alias("u"), ((u * 7 + 3) % n).alias("v")))
+    )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -314,3 +314,12 @@ def test_ann4_pruned_scan_no_corpus_shuffle(spark):
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p
+
+
+def test_gr1_triangle_joins_are_equi(spark):
+    # triangle counting: both self-joins must be key-partitioned equi-joins
+    # (hash or sort-merge), never a cartesian/nested-loop pair explosion
+    p = plan_of(_q(spark, "gr1_doc_triangles"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
