@@ -323,3 +323,42 @@ def test_gr1_triangle_joins_are_equi(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """The too-big-to-broadcast pattern (e.g. a resume done-set beyond
+    broadcast size): with runtime Bloom filters enabled, Spark builds a
+    Bloom filter from the selective side and injects might_contain() on
+    the fact side BELOW its shuffle, pruning rows before the exchange.
+    This pins that the engine-level mechanism engages on our data/shapes,
+    complementing plans/job.py's broadcast anti-join (the small-done-set
+    path)."""
+    # set on the SHARED session and restore afterwards — a leaked
+    # autoBroadcastJoinThreshold=-1 would silently break every broadcast
+    # plan pin in this module
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        p = plan_of(j)
+        assert "might_contain" in p
+        assert j.count() >= 0  # the filtered plan executes
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
