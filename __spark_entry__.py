@@ -85,6 +85,7 @@ _ROUND3_PRIORITY = [
     "ann4_ivf_sq8",
     "pr1_host_rank",
     "gr1_doc_triangles",
+    "z1_zorder_key",
     # r01-only entries, stale by one round
     "j6_anti_join",
     "j7_range_join",

@@ -3395,3 +3395,51 @@ def gr1_doc_triangles(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def _z_interleave_sql(a: str, b: str, bits: int = 8) -> str:
+    # bit-interleave two small ints into a Z-curve value (a gets even bit
+    # positions, b odd) — integer-exact, identical in Spark SQL and DuckDB
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({b} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@q(
+    "z1_zorder_key",
+    f"""WITH k AS (SELECT l_orderkey, l_partkey,
+                          CAST(l_orderkey % 256 AS BIGINT) AS a,
+                          CAST(l_partkey % 256 AS BIGINT) AS b
+                   FROM lineitem),
+    z AS (SELECT l_orderkey, l_partkey,
+                 CAST({_z_interleave_sql('a', 'b')} AS BIGINT) AS zval
+          FROM k)
+    SELECT l_orderkey, l_partkey, zval
+    FROM z ORDER BY zval, l_orderkey, l_partkey LIMIT 50""",
+)
+def z1_zorder_key(spark, sf_dir):
+    # Z-order (Morton) clustering key — the lakehouse OPTIMIZE ZORDER
+    # primitive: interleaving the bits of two filter columns gives a single
+    # sort key under which rows close in EITHER dimension land close on
+    # disk, so parquet min/max row-group pruning works for predicates on
+    # both columns (a plain sort clusters only its leading column). Here
+    # the key is computed with pure integer bit arithmetic — JVM-codegen'd
+    # narrow projection, exact in both engines — and the table layout step
+    # is repartitionByRange(zval) + sortWithinPartitions(zval) at write
+    # time. At 100 TB this is a maintenance job like plans/compact.py.
+    li = t(spark, sf_dir, "lineitem")
+    a = (F.col("l_orderkey") % 256).cast("long")
+    b = (F.col("l_partkey") % 256).cast("long")
+    zval = F.lit(0).cast("long")
+    for i in range(8):
+        zval = zval + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        zval = zval + F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return (
+        li.select("l_orderkey", "l_partkey", zval.alias("zval"))
+        .orderBy("zval", "l_orderkey", "l_partkey")
+        .limit(50)
+    )

@@ -589,3 +589,39 @@ def test_pr1_ranks_sum_to_one_and_order_by_indegree(spark):
     lo = min(indeg, key=indeg.get)
     if indeg[hi] > indeg[lo]:
         assert ranks[hi] >= ranks[lo]
+
+
+def test_z1_zorder_locality_beats_linear_sort(spark):
+    """The point of Z-ordering: under a zval sort, a range slice of rows is
+    clustered in BOTH dimensions, while a linear sort clusters only its
+    leading column. Quantified as the average per-slice spread (max-min) of
+    the NON-leading dimension over contiguous 64-row slices: z-order must
+    shrink it by a wide margin vs the linear layout."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+    from pyspark.sql import functions as F2
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        (F2.col("l_orderkey") % 256).alias("a"),
+        (F2.col("l_partkey") % 256).alias("b"),
+    )
+    zval = F2.lit(0).cast("long")
+    for i in range(8):
+        zval = zval + F2.shiftleft(F2.shiftright("a", i).bitwiseAND(F2.lit(1)), 2 * i)
+        zval = zval + F2.shiftleft(F2.shiftright("b", i).bitwiseAND(F2.lit(1)), 2 * i + 1)
+
+    def avg_b_spread(df, order_col):
+        from pyspark.sql import Window as W
+
+        rn = F2.row_number().over(W.orderBy(order_col, "a", "b")) - 1
+        return (
+            df.withColumn("slice", (rn / 64).cast("long"))
+            .groupBy("slice")
+            .agg((F2.max("b") - F2.min("b")).alias("spread"))
+            .agg(F2.avg("spread"))
+            .collect()[0][0]
+        )
+
+    z_spread = avg_b_spread(li.withColumn("z", zval), "z")
+    linear_spread = avg_b_spread(li.withColumn("z", F2.col("a")), "z")
+    assert z_spread < linear_spread * 0.5, (z_spread, linear_spread)
