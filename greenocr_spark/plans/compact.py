@@ -77,7 +77,6 @@ def compact_extracted(
     it needs no update."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     ext_dir = _extracted_dir(out_dir)
     parts = _partition_files(ext_dir)
     small_cut = max(target_bytes // 2, 1)
@@ -128,6 +127,10 @@ def compact_extracted(
         (
             spark.read.parquet(staging)
             .write.mode("overwrite")
+            # dynamic per-WRITE (not a session conf): only the picked
+            # part_id dirs are replaced, untouched partitions survive, and
+            # the caller's session-level overwrite semantics are unchanged
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_id")
             .parquet(ext_dir)
         )

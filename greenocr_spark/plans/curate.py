@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -134,11 +135,7 @@ def run_curate_job(
     )
     params_dir = os.path.join(out_dir, "params")
     committed = _read_parquet_or_none(spark, params_dir)
-    if committed is None:
-        spark.createDataFrame([(params,)], "params string").coalesce(
-            1
-        ).write.mode("overwrite").parquet(params_dir)
-    elif resume:
+    if committed is not None and resume:
         stored = committed.first()["params"]
         if stored != params:
             raise ValueError(
@@ -147,6 +144,21 @@ def run_curate_job(
                 "computed under different rules; rerun fresh into a new "
                 "out_dir (or pass resume=False to recompute everything)"
             )
+    if committed is None or not resume:
+        # resume=False recomputes every stage under the CURRENT params, so
+        # the committed fingerprint must follow: leaving the old one behind
+        # would let a later resume=True run pass the drift check and mix
+        # survivor sets computed under different rules (ADVICE r03). Same
+        # always-re-commit contract as export._check_or_commit_params.
+        spark.createDataFrame([(params,)], "params string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(params_dir)
+    if not resume:
+        # full recompute: the funnel manifest describes the OLD run's stage
+        # rows — clear it so the append-per-stage below rebuilds a manifest
+        # describing exactly one run (export.py invalidates its manifest the
+        # same way before touching shards)
+        shutil.rmtree(os.path.join(out_dir, "manifest"), ignore_errors=True)
 
     stages: list[tuple[str, object]] = [
         (

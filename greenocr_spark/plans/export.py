@@ -110,6 +110,26 @@ def _check_or_commit_params(out_dir: str, params: dict) -> None:
     os.replace(tmp, path)
 
 
+def _shards_match_manifest(
+    spark: SparkSession, out_dir: str, manifest_dir: str
+) -> bool:
+    """True iff every shard_id the manifest describes has its partition dir
+    under out_dir/shards (partial deletions → False → recompute)."""
+    shards_dir = os.path.join(out_dir, "shards")
+    if not os.path.isdir(shards_dir):
+        return False
+    on_disk = {
+        int(name.split("=", 1)[1])
+        for name in os.listdir(shards_dir)
+        if name.startswith("shard_id=")
+    }
+    manifest_ids = {
+        r["shard_id"]
+        for r in spark.read.parquet(manifest_dir).select("shard_id").collect()
+    }
+    return manifest_ids <= on_disk
+
+
 def read_export_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "manifest"))
 
@@ -132,7 +152,13 @@ def run_export_job(
     _check_or_commit_params(out_dir, params)
     manifest_dir = os.path.join(out_dir, "manifest")
     if resume and os.path.exists(os.path.join(manifest_dir, "_SUCCESS")):
-        return _stats_from_manifest(spark, manifest_dir, params, resumed=True)
+        # the manifest alone isn't proof the shards survived: verify every
+        # manifest shard_id still has its partition dir on disk before
+        # blessing the export as a no-op resume (ADVICE r03). The listing is
+        # n_shards-bounded — no shard data is read. On mismatch fall through
+        # to a full recompute (which invalidates this manifest first).
+        if _shards_match_manifest(spark, out_dir, manifest_dir):
+            return _stats_from_manifest(spark, manifest_dir, params, resumed=True)
 
     chunks = chunk_corpus(docs, seq_len)
     # guard on CHUNKS, not docs: a corpus of only whitespace docs would pass

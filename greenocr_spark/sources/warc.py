@@ -169,8 +169,11 @@ def read_warc(spark: SparkSession, warc_dir: str, strict: bool = True) -> DataFr
     Arrow-batched mapInPandas. Narrow (no shuffle); at cluster scale the
     segment files ARE the partitions, so parallelism = segment count — the
     same contract Common Crawl's own layout gives every consumer."""
+    # exactly the two supported extensions — an open-ended '*.warc*' would
+    # also match stray 'segment.warc.tmp' / '.bak' files, failing the whole
+    # read in strict mode or feeding garbage in lenient (ADVICE r03)
     raw = spark.read.format("binaryFile").load(
-        os.path.join(warc_dir, "*.warc*")
+        os.path.join(warc_dir, "*.{warc,warc.gz}")
     ).select("content")
     return raw.mapInPandas(_segment_parser(strict), schema=PAGES_SCHEMA)
 
@@ -187,7 +190,7 @@ def stream_warc(spark: SparkSession, warc_dir: str, strict: bool = True) -> Data
         .schema(
             "path string, modificationTime timestamp, length long, content binary"
         )
-        .load(os.path.join(warc_dir, "*.warc*"))
+        .load(os.path.join(warc_dir, "*.{warc,warc.gz}"))
         .select("content")
     )
     return raw.mapInPandas(_segment_parser(strict), schema=PAGES_SCHEMA)

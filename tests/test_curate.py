@@ -100,3 +100,27 @@ def test_curate_resample_deterministic(spark, tmp_path):
     a = sorted(r["doc_id"] for r in r1.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in r2.select("doc_id").collect())
     assert a == b  # md5-ppm sampling is reproducible across runs
+
+
+def test_curate_full_recompute_recommits_params_and_manifest(spark, tmp_path):
+    # ADVICE r03: resume=False recomputes under NEW params — the committed
+    # fingerprint must follow (else a later resume=True run would pass the
+    # drift check against stale params and mix survivor sets), and the
+    # funnel manifest must describe exactly the latest run, not an
+    # append-accumulation of both runs.
+    out = str(tmp_path / "cur")
+    docs = _corpus(spark)
+    run_curate_job(spark, docs, out, min_tokens=4, resample=False, neardup=False)
+    # forced recompute with different params succeeds and adopts them
+    run_curate_job(spark, docs, out, min_tokens=6, resample=False,
+                   neardup=False, resume=False)
+    m = read_curate_manifest(spark, out)
+    counts = {r["stage"]: r["count"] for r in m.groupBy("stage").count().collect()}
+    assert counts == {"quality": 1, "exact": 1}  # one row per stage, one run
+    assert m.select("run_id").distinct().count() == 1
+    # resuming with the NEW params is now clean; the OLD params drift-raise
+    run_curate_job(spark, docs, out, min_tokens=6, resample=False, neardup=False)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="params drift"):
+        run_curate_job(spark, docs, out, min_tokens=4, resample=False,
+                       neardup=False)

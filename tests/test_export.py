@@ -269,3 +269,23 @@ def test_export_crash_between_shards_and_manifest_not_blessed(spark, tmp_path):
     small = read_export_manifest(spark, out)
     assert small.agg(F.sum("n_rows")).collect()[0][0] == \
         spark.read.parquet(f"{out}/shards").count()
+
+
+def test_export_resume_detects_deleted_shards(spark, tmp_path):
+    # ADVICE r03: a manifest surviving a partial shards deletion must NOT be
+    # blessed as a no-op resume — the fast-path spot-checks shard partition
+    # dirs against the manifest and falls through to a full recompute.
+    import os
+    import shutil
+
+    out = str(tmp_path / "exp")
+    docs = _docs(spark)
+    s1 = run_export_job(spark, docs, out, seq_len=16, rows_per_shard=500, seed=7)
+    shard_dirs = [d for d in os.listdir(f"{out}/shards") if d.startswith("shard_id=")]
+    shutil.rmtree(f"{out}/shards/{shard_dirs[0]}")
+    s2 = run_export_job(spark, docs, out, seq_len=16, rows_per_shard=500, seed=7)
+    assert not s2["resumed"]
+    assert s2["n_chunks"] == s1["n_chunks"]
+    # and the rebuilt export resumes cleanly again
+    s3 = run_export_job(spark, docs, out, seq_len=16, rows_per_shard=500, seed=7)
+    assert s3["resumed"]

@@ -126,3 +126,19 @@ def test_gzip_members_are_independent(tmp_path):
         pos = len(blob) - len(d.unused_data)
         members += 1
     assert members == len(pages)
+
+
+def test_stray_tmp_files_ignored(spark, tmp_path):
+    # ADVICE r03: a half-uploaded 'segment.warc.tmp' next to real segments
+    # must not fail (strict) or pollute (lenient) the read — the glob takes
+    # exactly the two supported extensions.
+    pages = make_pages(20, seed=42)
+    d = str(tmp_path / "warc")
+    write_warc_dir(pages, d, n_segments=2)
+    with open(f"{d}/segment-99.warc.tmp", "wb") as f:
+        f.write(b"half-uploaded garbage, not a WARC record")
+    with open(f"{d}/segment-98.warc.bak", "wb") as f:
+        f.write(b"\x1f\x8bnot really gzip either")
+    got = read_warc(spark, d).collect()
+    assert len(got) == 20
+    assert {r["url"] for r in got} == {p["url"] for p in pages}
