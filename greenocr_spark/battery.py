@@ -548,13 +548,33 @@ def a13_count_distinct(spark, sf_dir):
     )
 
 
-@q("a12_approx_distinct", None)  # approx sketches differ per engine → rows-only
+@q(
+    "a12_approx_distinct",
+    """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS est_in_bounds
+       FROM events""",
+)
 def a12_approx_distinct(spark, sf_dir):
     # A12: approx_count_distinct for dedup metrics at 10^12 scale (HLL —
-    # constant memory per partition, map-side combinable)
+    # constant memory per partition, map-side combinable). The raw HLL
+    # estimate is engine-specific (another engine's sketch can't
+    # hash-match it), but its ERROR CONTRACT can be value-checked: emit
+    # the exact count plus a boolean pinning the estimate within ±15% of
+    # it (default rsd is 5%; HLL is deterministic on fixed input, so the
+    # boolean is stable). The exact side exists only to make the sketch
+    # driver-checkable at test scale — production runs the sketch alone.
+    est, exact = F.col("est"), F.col("exact_users")
     return (
         t(spark, sf_dir, "events")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("est"),
+        )
+        .select(
+            "exact_users",
+            ((est >= 0.85 * exact) & (est <= 1.15 * exact)).alias(
+                "est_in_bounds"
+            ),
+        )
     )
 
 

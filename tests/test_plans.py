@@ -178,6 +178,10 @@ def test_dec1_eval_set_broadcasts(spark):
     p = plan_of(_q(spark, "dec1_decontaminate"))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "NestedLoop" not in p
+    # single corpus scan: eval grams come from their own side table (the
+    # production shape), so exactly one scan of documents appears
+    assert p.count("documents.parquet") == 1
+    assert "evalgrams" in p  # and the eval side reads the gram fixture
 
 
 def test_scrub1_narrow_pruned(spark):
@@ -323,6 +327,10 @@ def test_gr1_triangle_joins_are_equi(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p
+    # degree-ordered orientation (Schank-Wagner): the wedge side carries
+    # the dst-degree column, bounding per-key join multiplicity on skewed
+    # graphs — the refinement r03's comment promised
+    assert "ddst" in p
 
 
 def test_runtime_bloom_filter_prunes_shuffle_join(spark):
