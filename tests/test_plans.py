@@ -327,10 +327,10 @@ def test_gr1_triangle_joins_are_equi(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p
-    # degree-ordered orientation (Schank-Wagner): the wedge side carries
-    # the dst-degree column, bounding per-key join multiplicity on skewed
+    # degree-ordered orientation (Schank-Wagner): the wedge filter compares
+    # dst-degree columns, bounding per-key join multiplicity on skewed
     # graphs — the refinement r03's comment promised
-    assert "ddst" in p
+    assert "dy#" in p and "dz#" in p
 
 
 def test_runtime_bloom_filter_prunes_shuffle_join(spark):
