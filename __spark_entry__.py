@@ -39,69 +39,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass checks roughly the first 50 queries() entries
-# per round.  Round-3 window (VERDICT r02 items 1-3), in evidence-need order:
-# (1) the 4 rows red in r02 (now fixed: w9 oracle CAST, arr2/f13/mm2 array
-# serialization), (2) every round-3 addition needing FIRST driver evidence
-# (ex4/ex5/st8 byte-identity, pipe2, tx7-tx9, w11, pg1, url2/url3, dec1,
-# scrub1, mix1, ng1, chk1/chk2, samp2) plus the flagship re-confirm, then
-# (3) the entries whose newest driver evidence is r01.  With ~24 entries in
-# (1)+(2), roughly the first 26 of block (3) fit the window; the remainder
-# (all r01-green AND covered by the local sf0.001+sf0.01 oracle gates every
-# session) roll to the next round's rotation.
-_ROUND3_PRIORITY = [
-    # fixed-red + new + flagship re-confirm
-    "w9_sessionize",
-    "arr2_set_ops",
-    "f13_pad_tokens",
-    "mm2_frame_sample",
+# per round.  Round-4 window (VERDICT r03 tasks 1, 2, 4, 5, 7), in
+# evidence-need order: (1) every entry whose CODE changed this round (shuf1/
+# chk2 block sizing, a12's new oracle, single-scan dec1, degree-ordered gr1)
+# plus the flagship byte-identity re-confirm, (2) the 23 entries whose newest
+# driver evidence is r01 (VERDICT r03 "What's missing" 1), then (3) the
+# oldest r02 entries, in their r02 order, as far as the window reaches.  The
+# ~24 r02 entries past the cutoff (all green r02 AND re-checked by the local
+# sf0.001+sf0.01 oracle gates every session) rotate in round 5.
+_ROUND4_PRIORITY = [
+    # (1) code changed this round + flagship re-confirm
+    "shuf1_train_order",
+    "chk2_pack_offsets",
+    "a12_approx_distinct",
+    "dec1_decontaminate",
+    "gr1_doc_triangles",
     "ex4_corpus_hash",
     "ex1_extract_wrapped",
-    # new round-3 operators (first driver evidence)
-    "ex5_warc_corpus_hash",
-    "ex6_host_report",
-    "st8_stream_warc_hash",
-    "pipe2_neardup_removal",
-    "tx8_bigram_lm_score",
-    "tx7_repetition_ratio",
-    "w11_islands",
-    "pg1_paragraph_dedup",
-    "url2_canonicalize",
-    "dec1_decontaminate",
-    "scrub1_pii_redact",
-    "mix1_source_mix_weights",
-    "ng1_dup_spans",
-    "chk1_token_chunks",
-    "chk2_pack_offsets",
-    "samp2_mixture_resample",
-    "tx9_rare_terms",
-    "url3_blocklist_filter",
-    "hh1_hot_hosts",
-    "quant1_int8_topk",
-    "shuf1_train_order",
-    "cdc1_snapshot_diff",
-    "idx1_inverted_index",
-    "tok1_pretokenize",
-    "st9_stream_dedup",
-    "ann4_ivf_sq8",
-    "pr1_host_rank",
-    "gr1_doc_triangles",
-    "z1_zorder_key",
-    # r01-only entries, stale by one round
-    "j6_anti_join",
-    "j7_range_join",
-    "j8_asof_join",
-    "j9_shipping_priority",
-    "j10_local_supplier_volume",
-    "a1_pricing_summary",
-    "a5_argmin_per_group",
-    "a6_weighted_avg",
-    "a7_percentile",
-    "a2_distinct_chars",
-    "a3_minmax",
-    "a11_rollup",
-    "a13_count_distinct",
-    "a12_approx_distinct",
-    "a15_pivot",
+    # (2) r01-stale entries
     "a16_unpivot",
     "w1_ctc_collapse",
     "w7_topk_per_group",
@@ -125,18 +80,40 @@ _ROUND3_PRIORITY = [
     "dd1_dedup_exact",
     "dd2_minhash_signature",
     "dd3_minhash_band_pairs",
-    # rows-only binary/sketch surfaces (no SQL oracle by design)
+    # (3) oldest r02 entries, as far as the 50-entry window reaches
+    "s1_scan_project",
+    "p1_null_filter",
+    "p6_regex_strip",
+    "p7_clamp_math",
+    "f12_ctc_width_law",
+    "p3_feasibility_filter",
+    "a8_minmax_normalize",
+    "w2_argmax_per_group",
+    "j3_dict_decode_join",
+    "j1_broadcast_join_agg",
+    "j2_brand_quantity",
+    "j5_semi_join",
+    "dd4_word_jaccard_pairs",
+    "dd5_simhash",
+    "dd6_embedding_neardup",
+    "dd7_lsh_neardup",
+    "dd8_dup_clusters",
+    "dd9_editdist_verify",
+    "ann1_cosine_topk",
+    "ann2_lsh_buckets",
+    "ann3_ivf_topk",
+    "tx1_token_count",
+    # rows-only binary surfaces (no SQL oracle by design; byte-identity is
+    # separately driver-proven by ex4/ex5/st8)
     "ex2_extract_fixture_pages",
     "ex3_extract_pdf_branch",
-    "st3_stream_extract",
 ]
-
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     reg = _registry()
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND3_PRIORITY:
+    for name in _ROUND4_PRIORITY:
         if name in reg:
             ordered[name] = reg[name][0]
     for name, (fn, _) in reg.items():
