@@ -377,27 +377,30 @@ def test_prefix_sum_block_sizing_grows_with_corpus():
     # fixed constants put corpus-proportional work in one task (shuf1) or
     # a corpus-proportional table through a broadcast (chk2).
     from greenocr_spark.battery_ml import (
-        PREFIX_SUM_TARGET_BLOCK_ROWS,
+        PREFIX_SUM_MAX_BLOCK_ROWS,
         prefix_sum_block_size,
         prefix_sum_hex_len,
     )
 
-    # hex-prefix form (shuf1): block rows bounded by target; monotone in N
+    # hex-prefix form (shuf1): block rows bounded by the per-task ceiling;
+    # k monotone in N; enough blocks for parallelism at bench scale
     last = 0
     for n in [10**3, 10**6, 10**9, 10**12, 10**14]:
         k = prefix_sum_hex_len(n)
         assert k >= last
         last = k
         if k < 8:  # within the derivable range the bound is strict
-            assert n / (16**k) <= PREFIX_SUM_TARGET_BLOCK_ROWS
+            assert n / (16**k) <= PREFIX_SUM_MAX_BLOCK_ROWS
+    assert prefix_sum_hex_len(5000) == 2  # 256 blocks even on tiny corpora
     assert prefix_sum_hex_len(10**12) == 5  # 1M blocks x ~1M rows
-    # id-range form (chk2): both block rows (=bs) and block count (~N/bs)
-    # grow as ~sqrt(N) — neither side is ever corpus-proportional
-    for n in [10**4, 10**8, 10**12]:
+    # id-range form (chk2): block rows fixed at ~n/4096 until the ~1M cap,
+    # then block count grows — neither side is ever corpus-proportional
+    for n in [10**4, 10**8, 10**12, 10**14]:
         bs = prefix_sum_block_size(n)
-        assert bs >= prefix_sum_block_size(n // 100)
-        assert bs <= max(1024, 2 * int(n**0.5))
-        assert n / bs <= max(1, 2 * n**0.5)
+        assert bs >= prefix_sum_block_size(max(1, n // 100))
+        assert 256 <= bs <= PREFIX_SUM_MAX_BLOCK_ROWS
+    assert prefix_sum_block_size(10**12) == PREFIX_SUM_MAX_BLOCK_ROWS
+    assert 10**12 // prefix_sum_block_size(10**12) <= 1 << 22  # broadcastable
 
 
 def test_shuf1_chk2_large_n_plan_drops_broadcast_and_widens_blocks(spark):

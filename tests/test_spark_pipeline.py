@@ -423,3 +423,81 @@ def test_adaptive_resume_rejects_legacy_hot_hosts(spark, pages_path, tmp_path):
     ).write.parquet(f"{out}/hot_hosts")
     with pytest.raises(ValueError, match="incompatible hot_hosts layout"):
         run_extract_job(spark, pages, out, n_parts=16, salting="adaptive")
+
+
+def test_adaptive_resume_with_drifted_skew(spark, pages_path, tmp_path):
+    # VERDICT r03 task 8: the one salting scenario not yet pinned — hot map
+    # learned at T0, corpus skew changes before a T1 resume. Contract: the
+    # persisted map is REUSED verbatim (part_id assignment stays stable
+    # under the committed manifest), the new hot host routes as a cold host
+    # through the old map, partitions marked done are skipped, and the rest
+    # complete — drift changes the balance, never the routing.
+    from greenocr_spark.functions.sqlfns import hot_salted_part_id
+
+    out = str(tmp_path / "drift")
+    pages1 = spark.read.parquet(pages_path)
+    run_extract_job(spark, pages1, out, n_parts=16, salting="adaptive")
+    hot_before = sorted(
+        (r["h"], r["s"]) for r in spark.read.parquet(f"{out}/hot_hosts").collect()
+    )
+
+    # simulate a crash: partitions with odd part_id never committed
+    man_dir = f"{out}/manifest"
+    man = spark.read.parquet(man_dir)
+    kept = [tuple(r) for r in man.filter(F.col("part_id") % 2 == 0).collect()]
+    spark.createDataFrame(kept, man.schema).write.mode("overwrite").parquet(man_dir)
+    done_parts = {p for (p, *_rest) in []} | {
+        r[man.columns.index("part_id")] for r in kept
+    }
+
+    # T1 drift: a previously-unseen host floods the corpus
+    from pyspark.sql import Window
+
+    flood = (
+        pages1.limit(40)
+        .withColumn("rn", F.row_number().over(Window.orderBy("url")))
+        .select(
+            F.concat(F.lit("https://flood.example.com/p"),
+                     F.col("rn").cast("string")).alias("url"),
+            "warc_ts", "html", "text", "lang",
+        )
+    )
+    pages2 = pages1.unionByName(flood)
+    final = run_extract_job(spark, pages2, out, n_parts=16, salting="adaptive")
+
+    # the learned map did not move (and did not learn the flood host)
+    hot_after = sorted(
+        (r["h"], r["s"]) for r in spark.read.parquet(f"{out}/hot_hosts").collect()
+    )
+    assert hot_after == hot_before
+    assert all(h != "flood.example.com" for h, _ in hot_after)
+
+    got_urls = [r["url"] for r in final.select("url").collect()]
+    assert len(got_urls) == len(set(got_urls))  # no double-extraction
+    # every original url present exactly once (done partitions kept their
+    # output; crashed ones re-extracted)
+    orig_urls = {r["url"] for r in pages1.select("url").collect()}
+    assert orig_urls <= set(got_urls)
+    # flood rows: partition-grain resume semantics — rows routed (by the
+    # OLD map) into still-pending partitions extract; rows landing in
+    # already-done partitions are skipped this run
+    hot_map = dict(hot_before)
+    flood_parts = {
+        r["part_id"]
+        for r in flood.withColumn(
+            "part_id", hot_salted_part_id("url", hot_map, 16, 8)
+        ).select("part_id").collect()
+    }
+    expected_flood = 40 if (flood_parts - done_parts) == flood_parts else None
+    flood_got = [u for u in got_urls if u.startswith("https://flood.")]
+    if flood_parts <= done_parts:
+        assert flood_got == []
+    elif expected_flood:
+        assert len(flood_got) == 40
+    else:  # split across done+pending — at least the pending side landed
+        assert 0 < len(flood_got) < 40
+
+    # and a further resume with the same drifted input is a no-op
+    n_rows = spark.read.parquet(f"{out}/manifest").count()
+    run_extract_job(spark, pages2, out, n_parts=16, salting="adaptive")
+    assert spark.read.parquet(f"{out}/manifest").count() == n_rows
