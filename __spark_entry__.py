@@ -56,6 +56,9 @@ _ROUND4_PRIORITY = [
     "gr1_doc_triangles",
     "ex4_corpus_hash",
     "ex1_extract_wrapped",
+    # round-4 additions (first driver evidence)
+    "voc1_vocab_topk",
+    "km1_kmeans_estep",
     # (2) r01-stale entries
     "a16_unpivot",
     "w1_ctc_collapse",

@@ -3569,3 +3569,122 @@ def z1_zorder_key(spark, sf_dir):
         .orderBy("zval", "l_orderkey", "l_partkey")
         .limit(50)
     )
+
+
+@q(
+    "voc1_vocab_topk",
+    f"""WITH e AS (SELECT unnest({_duck_words()}) AS word FROM documents),
+    c AS (SELECT word, count(*) AS n FROM e WHERE word <> '' GROUP BY word),
+    r AS (SELECT word, n,
+                 row_number() OVER (ORDER BY n DESC, word) AS rk,
+                 sum(n) OVER (ORDER BY n DESC, word
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c)
+    SELECT word, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk,
+           CAST(cum AS BIGINT) AS cum_count
+    FROM r WHERE rk <= 20""",
+)
+def voc1_vocab_topk(spark, sf_dir):
+    # Vocabulary construction — the tokenizer-training prerequisite (count
+    # every word, rank by frequency, cumulative token coverage of the top
+    # ranks; the Zipf head that decides vocab size). Scale shape: the word
+    # count is one map-side-combined groupBy over a vocabulary-sized table
+    # (Heaps' law: sublinear in corpus); the top-k is TakeOrdered (never a
+    # global sort of the vocab); rank + running coverage then run in a
+    # window over the 20 SURVIVING rows only — a global-order window is
+    # fine after a LIMIT, the thing that must never happen is one over the
+    # vocab or the corpus. cum_count over the top-k prefix equals the full
+    # -vocabulary prefix sum because ranking is a prefix of the same order.
+    c = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_spark_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = c.orderBy(F.desc("n"), "word").limit(20)
+    w = Window.orderBy(F.desc("n"), "word").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return top.select(
+        "word",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w).alias("cum_count"),
+    )
+
+
+@q(
+    "km1_kmeans_estep",
+    """WITH q AS (SELECT vec_id,
+                         list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                       AS BIGINT)) AS qe
+                  FROM embeddings),
+    c AS (SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id BETWEEN 1 AND 8),
+    d AS (SELECT q.vec_id, q.qe[1] AS q0, c.cid,
+                 list_sum(list_transform(range(1, 65),
+                     i -> (q.qe[i] - c.qc[i]) * (q.qe[i] - c.qc[i]))) AS dist
+          FROM q, c),
+    a AS (SELECT vec_id, q0, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+          FROM d)
+    SELECT cid, count(*) AS n_members,
+           CAST(sum(q0) AS BIGINT) AS qsum0,
+           CAST(sum(dist) AS BIGINT) AS inertia
+    FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""",
+)
+def km1_kmeans_estep(spark, sf_dir):
+    # One Lloyd iteration (E-step assign + M-step partials) — the
+    # clustering workhorse behind IVF index training and embedding-space
+    # corpus maps. All arithmetic is scaled-int (components quantized to
+    # round(x*1000) longs, squared-L2 in exact integer math — the tx8/
+    # quant1 pattern), so both engines agree bit-for-bit with no float
+    # accumulation-order hazards. Scale shape: the K=8 centroid set
+    # collapses to a single broadcast ROW (array of structs), assignment
+    # is argmin over that array via array_min — a narrow projection, so
+    # the corpus is never multiplied by K rows, never shuffled on vec_id;
+    # the only exchange is the final 8-group partial aggregate. M-step
+    # emits exact integer SUMS (component-0 sum + member count + inertia),
+    # not means — the driver of the next iteration divides.
+    e = t(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    qe = e.select("vec_id", qarr.alias("qe"))
+    cents_row = (
+        qe.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("qe").alias("qc")).alias("c"))
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+
+    def dist_to(qc):
+        return F.aggregate(
+            F.zip_with(F.col("qe"), qc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                dist_to(c["qc"]).alias("dist"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return (
+        qe.crossJoin(F.broadcast(cents_row))
+        .select(
+            F.element_at("qe", 1).alias("q0"),
+            best.alias("b"),
+        )
+        .groupBy(F.col("b.cid").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("q0").alias("qsum0"),
+            F.sum("b.dist").alias("inertia"),
+        )
+        .orderBy("cid")
+    )

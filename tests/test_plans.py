@@ -437,3 +437,23 @@ def test_shuf1_chk2_large_n_plan_drops_broadcast_and_widens_blocks(spark):
         plan_of(chk2_pack_offsets(spark, SF_DIR, _n_override=10**15), mode="simple"),
     ):
         assert not re.search(r"Window \[[^\]]*\], \[(skey|doc_id)[^\]]*(ASC|DESC)", q_ps)
+
+
+def test_voc1_topk_is_take_ordered(spark):
+    # vocab head: word-count groupBy with map-side partials, top-k via
+    # TakeOrdered — never a global sort of the vocabulary table
+    p = plan_of(_q(spark, "voc1_vocab_topk"))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+
+
+def test_km1_no_corpus_shuffle(spark):
+    # k-means E-step: centroids collapse to one broadcast row; assignment
+    # is a narrow array_min projection (corpus never multiplied by K,
+    # never shuffled on vec_id); only exchanges are the K-group partial
+    # aggregate (+ AQE's final coalesce), and nothing is row-Python
+    p = plan_of(_q(spark, "km1_kmeans_estep"))
+    assert "BroadcastNestedLoopJoin" in p  # 1-row centroid side
+    assert "partial_count" in p or "partial_sum" in p
+    assert "BatchEvalPython" not in p
+    assert p.count("embeddings.parquet") == 2  # corpus scan + K=8 seed scan
