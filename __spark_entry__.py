@@ -59,6 +59,8 @@ _ROUND4_PRIORITY = [
     # round-4 additions (first driver evidence)
     "voc1_vocab_topk",
     "km1_kmeans_estep",
+    "ex7_outlink_hash",
+    "lnk1_host_graph",
     # (2) r01-stale entries
     "a16_unpivot",
     "w1_ctc_collapse",

@@ -3688,3 +3688,64 @@ def km1_kmeans_estep(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+@q(
+    "ex7_outlink_hash",
+    """SELECT CAST(286616767658516744 AS BIGINT) AS corpus_hash,
+              CAST(1500 AS BIGINT) AS n_docs""",
+)
+def ex7_outlink_hash(spark, sf_dir):
+    # Web-graph construction face: harvest every <a href> of the 1500-page
+    # seed-42 fixture corpus through the Arrow-batched link stage
+    # (operators/links.extract_links — entity decode, urljoin resolution,
+    # scheme filtering identical to the pure-Python extractor.links spec),
+    # reduce (url, outlinks, n_links) rows with the same order-insensitive
+    # sha256-prefix xor as ex4. The oracle literal is computed by the pure
+    # -Python path (pinned with it in tests/test_links.py), so a green row
+    # proves the distributed link harvest is string-identical to the
+    # reference implementation — the ex4 byte-identity pattern applied to
+    # the graph face. Narrow stage: no shuffle upstream of the 1-row agg.
+    from greenocr_spark.operators.links import extract_links
+
+    pages = spark.read.parquet(_fixture_pages_path(1500))
+    lk = extract_links(pages)
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("url"),
+        F.array_join("outlinks", ";"),
+        F.col("n_links").cast("string"),
+    )
+    row_h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
+    return lk.select(row_h.alias("h")).agg(
+        F.bit_xor("h").alias("corpus_hash"), F.count("*").alias("n_docs")
+    )
+
+
+@q(
+    "lnk1_host_graph",
+    None,  # edges come from HTML parsing — not SQL-expressible; exact
+    # values pinned in tests/test_links.py, string-identity in ex7
+)
+def lnk1_host_graph(spark, sf_dir):
+    # Host-level link graph — the pr1/crawl-frontier input built from real
+    # page markup: explode the outlinks of the link stage, reduce each
+    # edge to (src_host, dst_host), count. Scale shape: the narrow link
+    # stage preserves partitioning; the only shuffle is the (src,dst)
+    # -keyed aggregate with map-side partials; hosts come from
+    # try_parse_url (NULL-safe on malformed crawl urls).
+    from greenocr_spark.functions.sqlfns import host_expr
+    from greenocr_spark.operators.links import extract_links
+
+    pages = spark.read.parquet(_fixture_pages_path(400))
+    lk = extract_links(pages)
+    return (
+        lk.select(
+            host_expr("url").alias("src_host"),
+            F.explode("outlinks").alias("out"),
+        )
+        .select("src_host", host_expr("out").alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy("src_host", "dst_host")
+    )

@@ -1,0 +1,109 @@
+"""Outlink extraction (extractor/links.py + operators/links.py): unit
+spec, Spark≡pure-Python string identity, and the host-graph shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from greenocr_spark.extractor.links import extract_outlinks
+from greenocr_spark.fixtures import make_pages
+
+GOLDEN_OUTLINK_XOR = 286616767658516744  # frozen with ex7's oracle literal
+GOLDEN_N = 1500
+
+
+def test_outlink_unit_spec():
+    html = (
+        b"<html><body>"
+        b'<a href="https://ex.org/a">x</a>'
+        b"<a href='/rooted'>x</a>"
+        b"<a href=bare>x</a>"
+        b'<A HREF="//proto.rel/p">x</A>'
+        b'<a href="../up">x</a>'
+        b'<a href="#frag">x</a>'
+        b'<a href="javascript:void(0)">x</a>'
+        b'<a href="mailto:a@b.c">x</a>'
+        b'<a href="?q=1&amp;r=2">x</a>'
+        b'<a href="https://ex.org/a">dup</a>'
+        b"<a name=anchor>no href</a>"
+        b"</body></html>"
+    )
+    got = extract_outlinks(html, base_url="https://host.example.com/dir/page")
+    assert got == [
+        "https://ex.org/a",
+        "https://host.example.com/rooted",
+        "https://host.example.com/dir/bare",
+        "https://proto.rel/p",
+        "https://host.example.com/up",
+        "https://host.example.com/dir/page?q=1&r=2",
+    ]
+    # no base_url: only absolute links survive (protocol-relative included
+    # cannot resolve without a base and drops)
+    assert extract_outlinks(html) == ["https://ex.org/a"]
+    # PDFs and empty payloads have no markup links
+    assert extract_outlinks(b"%PDF-1.4 whatever") == []
+    assert extract_outlinks(b"") == []
+    assert extract_outlinks(None) == []
+
+
+def test_outlink_golden_frozen():
+    # the pure-Python path over the fixture corpus must reproduce the
+    # literal frozen in ex7's oracle — same pattern as the ex4 text hash
+    acc, n = 0, 0
+    for p in make_pages(GOLDEN_N, seed=42):
+        links = extract_outlinks(p["html"], base_url=p["url"])
+        canon = "\x1f".join([p["url"], ";".join(links), str(len(links))])
+        acc ^= int(hashlib.sha256(canon.encode("utf-8")).hexdigest()[:15], 16)
+        n += 1
+    assert (acc, n) == (GOLDEN_OUTLINK_XOR, GOLDEN_N)
+
+
+def test_spark_links_match_python(spark, tmp_path):
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.operators.links import extract_links
+
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(path, 300)
+    got = {
+        r["url"]: (list(r["outlinks"]), r["n_links"])
+        for r in extract_links(spark.read.parquet(path)).collect()
+    }
+    pages = make_pages(300, seed=42)
+    assert len(got) == 300
+    for p in pages:
+        want = extract_outlinks(p["html"], base_url=p["url"])
+        assert got[p["url"]] == (want, len(want)), p["url"]
+
+
+def test_links_stage_is_narrow(spark, tmp_path):
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.operators.links import extract_links
+
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(path, 50)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extract_links(spark.read.parquet(path)).explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_host_graph_values(spark):
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml  # noqa: F401
+
+    fn, _ = b.REGISTRY["lnk1_host_graph"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    # fixture links are site-relative → after urljoin every edge is
+    # intra-host, and every host linking out links to itself
+    for r in rows:
+        assert r["src_host"] == r["dst_host"], r
+    # the Zipf-hot host carries the most edges
+    top = max(rows, key=lambda r: r["n_edges"])
+    assert top["src_host"] == "big.example.com"
