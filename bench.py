@@ -75,8 +75,12 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict:
         fn, _ = reg[name]
         return lambda: fn(spark, sf_dir)
 
+    from greenocr_spark.operators.links import extract_links
+
     return {
         "extract_pipeline": lambda: extract_pages(pages),
+        # round-4: the web-graph face — outlink harvest over the same pages
+        "link_pipeline": lambda: extract_links(pages),
         "a1_pricing_summary": from_reg("a1_pricing_summary"),
         "j1_broadcast_join_agg": from_reg("j1_broadcast_join_agg"),
         "j8_asof_join": from_reg("j8_asof_join"),

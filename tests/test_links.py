@@ -107,3 +107,19 @@ def test_host_graph_values(spark):
     # the Zipf-hot host carries the most edges
     top = max(rows, key=lambda r: r["n_edges"])
     assert top["src_host"] == "big.example.com"
+
+
+def test_outlink_fuzz_never_raises_and_deterministic():
+    # crawl bytes are adversarial: random binary, truncated tags, nested
+    # quotes — the harvester must never raise, must be deterministic, and
+    # must only ever emit http(s) urls
+    import random
+
+    rng = random.Random(7)
+    alphabet = b"<>ahref=\"'/ :#&;x\x00\xff\xc3\xa4%PDF-jmailto"
+    for trial in range(200):
+        raw = bytes(rng.choice(alphabet) for _ in range(rng.randrange(0, 400)))
+        a = extract_outlinks(raw, base_url="https://h.example.com/p")
+        b = extract_outlinks(raw, base_url="https://h.example.com/p")
+        assert a == b
+        assert all(u.lower().startswith(("http://", "https://")) for u in a)
