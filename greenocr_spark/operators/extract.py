@@ -48,8 +48,20 @@ EXTRACT_FIELDS = [
 ]
 
 
-def extract_schema(passthrough: list | None = None, input_schema: StructType | None = None) -> StructType:
+LINK_FIELDS = [
+    StructField("outlinks", ArrayType(StringType())),
+    StructField("n_links", IntegerType()),
+]
+
+
+def extract_schema(
+    passthrough: list | None = None,
+    input_schema: StructType | None = None,
+    with_links: bool = False,
+) -> StructType:
     fields = list(EXTRACT_FIELDS)
+    if with_links:
+        fields += LINK_FIELDS
     if passthrough:
         by_name = {f.name: f for f in (input_schema.fields if input_schema else [])}
         for name in passthrough:
@@ -61,14 +73,26 @@ def extract_pages(
     df: DataFrame,
     cfg: ExtractorConfig = DEFAULT_CONFIG,
     passthrough: tuple = (),
+    with_links: bool = False,
 ) -> DataFrame:
     """Run main-content extraction over a pages DataFrame.
 
     Input requires columns (url:string, html:binary); `passthrough` columns
     are carried to the output unchanged (e.g. part_id). Narrow operation —
-    preserves the input's partitioning, no shuffle."""
-    schema = extract_schema(list(passthrough), df.schema)
+    preserves the input's partitioning, no shuffle.
+
+    with_links=True additionally harvests each page's outlinks
+    (extractor/links spec) in the SAME batch loop — at 10^12 pages the
+    payload scan dominates both faces, so fusing them halves the I/O vs
+    running operators/links.extract_links as a second pass. Default off:
+    the text-only schema and every frozen byte-identity surface are
+    untouched. (The link pass re-decodes the payload — a bounded C-speed
+    .decode(); sharing the decoded string would couple the frozen text
+    path to the link spec for ~nothing.)"""
+    schema = extract_schema(list(passthrough), df.schema, with_links)
     keep = ["url", "html", *passthrough]
+    if with_links:
+        from greenocr_spark.extractor.links import extract_outlinks
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,6 +110,9 @@ def extract_pages(
                 "bytes_out": [0] * n,
                 "kind": [""] * n,
             }
+            if with_links:
+                out["outlinks"] = [None] * n
+                out["n_links"] = [0] * n
             for i, raw in enumerate(pdf["html"].tolist()):
                 r = extract_document(raw, cfg)
                 out["text"][i] = r["text"]
@@ -99,6 +126,10 @@ def extract_pages(
                 out["bytes_in"][i] = len(raw) if raw is not None else 0
                 out["bytes_out"][i] = len(r["text"].encode("utf-8"))
                 out["kind"][i] = r["kind"]
+                if with_links:
+                    links = extract_outlinks(raw, base_url=out["url"][i])
+                    out["outlinks"][i] = links
+                    out["n_links"][i] = len(links)
             res = pd.DataFrame(out)
             for name in passthrough:
                 res[name] = pdf[name].values

@@ -123,3 +123,35 @@ def test_outlink_fuzz_never_raises_and_deterministic():
         b = extract_outlinks(raw, base_url="https://h.example.com/p")
         assert a == b
         assert all(u.lower().startswith(("http://", "https://")) for u in a)
+
+
+def test_fused_extract_with_links_matches_both_faces(spark, tmp_path):
+    # extract_pages(with_links=True) must equal the text face of the
+    # default stage AND the link face of the standalone stage, row for row
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.operators.extract import extract_pages
+    from greenocr_spark.operators.links import extract_links
+
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(path, 200)
+    pages = spark.read.parquet(path)
+    fused = {
+        r["url"]: (r["text"], list(r["outlinks"]), r["n_links"])
+        for r in extract_pages(pages, with_links=True).collect()
+    }
+    text_only = {r["url"]: r["text"] for r in extract_pages(pages).collect()}
+    links_only = {
+        r["url"]: (list(r["outlinks"]), r["n_links"])
+        for r in extract_links(pages).collect()
+    }
+    assert len(fused) == 200
+    for url, (text, links, nl) in fused.items():
+        assert text == text_only[url]
+        assert (links, nl) == links_only[url]
+    # and the fused stage is still narrow
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extract_pages(pages, with_links=True).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
