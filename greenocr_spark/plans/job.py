@@ -87,6 +87,7 @@ def run_extract_job(
     run_id: str | None = None,
     resume: bool = True,
     salting: str = "uniform",
+    with_links: bool = False,
 ) -> DataFrame:
     """Run (or resume) the extraction job. Returns the final extracted table
     (read back from storage, all partitions).
@@ -101,6 +102,29 @@ def run_extract_job(
     between runs (ADVICE r01)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    if resume:
+        # like the salting mode, with_links must be stable across resume:
+        # mixing runs would leave partition dirs with two different schemas
+        # under one table (and a fully-done resume would silently hand back
+        # a table of the other shape). Fail loudly up front instead.
+        try:
+            has_links = (
+                "outlinks"
+                in spark.read.parquet(_extracted_dir(out_dir)).schema.fieldNames()
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                has_links = None
+            else:
+                raise
+        if has_links is not None and has_links != with_links:
+            raise ValueError(
+                f"extracted table at {_extracted_dir(out_dir)} was written "
+                f"with_links={has_links}; resuming with_links={with_links} "
+                "would mix schemas under one table — rerun with the same "
+                "flag or extract into a fresh out_dir"
+            )
 
     if salting == "adaptive":
         from greenocr_spark.functions.sqlfns import (
@@ -170,10 +194,9 @@ def run_extract_job(
                 [], extract_schema(["part_id"], df.schema)
             )
 
-    df = df.repartition(n_parts, "part_id").sortWithinPartitions("url")
-    extracted = extract_pages(df, passthrough=("part_id",))
-
     ext_path = _extracted_dir(out_dir)
+    df = df.repartition(n_parts, "part_id").sortWithinPartitions("url")
+    extracted = extract_pages(df, passthrough=("part_id",), with_links=with_links)
     from greenocr_spark.sources.pages import write_extracted
 
     write_extracted(extracted, ext_path, partition_col="part_id")

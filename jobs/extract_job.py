@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--salting", choices=["uniform", "adaptive"], default="uniform")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--with-links", action="store_true",
+                    help="harvest outlinks in the same extraction pass")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args()
 
@@ -71,6 +73,7 @@ def main() -> None:
         n_salts=args.n_salts,
         resume=not args.no_resume,
         salting=args.salting,
+        with_links=args.with_links,
     )
     n = result.count()
     secs = time.perf_counter() - t0

@@ -155,3 +155,28 @@ def test_fused_extract_with_links_matches_both_faces(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         extract_pages(pages, with_links=True).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_extract_job_with_links_and_schema_guard(spark, tmp_path):
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.plans.job import run_extract_job
+
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(path, 300)
+    pages = spark.read.parquet(path)
+    out = str(tmp_path / "out")
+    res = run_extract_job(spark, pages, out, n_parts=8, with_links=True)
+    assert "outlinks" in res.columns and "n_links" in res.columns
+    got = {r["url"]: list(r["outlinks"]) for r in res.collect()}
+    assert len(got) == 300
+    # spot: link face matches the pure-Python spec through the job path
+    for p in make_pages(5, seed=42):
+        assert got[p["url"]] == extract_outlinks(p["html"], base_url=p["url"])
+    # resume with the SAME flag: no-op, schema stable
+    res2 = run_extract_job(spark, pages, out, n_parts=8, with_links=True)
+    assert res2.count() == 300
+    # resuming with a DIFFERENT flag must fail loudly, not mix schemas
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="with_links"):
+        run_extract_job(spark, pages, out, n_parts=8, with_links=False)
