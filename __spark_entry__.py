@@ -61,6 +61,7 @@ _ROUND4_PRIORITY = [
     "km1_kmeans_estep",
     "ex7_outlink_hash",
     "lnk1_host_graph",
+    "ex8_meta_hash",
     # (2) r01-stale entries
     "a16_unpivot",
     "w1_ctc_collapse",

@@ -3749,3 +3749,33 @@ def lnk1_host_graph(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_edges"))
         .orderBy("src_host", "dst_host")
     )
+
+
+@q(
+    "ex8_meta_hash",
+    """SELECT CAST(1049987538828195193 AS BIGINT) AS corpus_hash,
+              CAST(1500 AS BIGINT) AS n_docs""",
+)
+def ex8_meta_hash(spark, sf_dir):
+    # Page-metadata face (title / meta-robots / rel=canonical — the
+    # signals that drive noindex exclusion and canonical-url dedup in a
+    # CC-style pipeline): Arrow-batched harvest (operators/meta.py) over
+    # the 1500-page fixture corpus, reduced with the ex4/ex7 sha256-xor
+    # scheme against a frozen pure-Python literal (pinned together with
+    # the spec in tests/test_meta.py). Narrow stage, 1-row agg.
+    from greenocr_spark.operators.meta import extract_meta_pages
+
+    pages = spark.read.parquet(_fixture_pages_path(1500))
+    mt = extract_meta_pages(pages)
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("url"),
+        F.coalesce("title", F.lit("")),
+        F.coalesce("robots", F.lit("")),
+        F.col("noindex").cast("int").cast("string"),
+        F.coalesce("canonical", F.lit("")),
+    )
+    row_h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
+    return mt.select(row_h.alias("h")).agg(
+        F.bit_xor("h").alias("corpus_hash"), F.count("*").alias("n_docs")
+    )
