@@ -180,3 +180,51 @@ def test_extract_job_with_links_and_schema_guard(spark, tmp_path):
 
     with _pt.raises(ValueError, match="with_links"):
         run_extract_job(spark, pages, out, n_parts=8, with_links=False)
+
+
+def test_link_and_meta_stages_run_under_streaming(spark, tmp_path):
+    # the graph/metadata faces are pure DataFrame→DataFrame stages, so the
+    # batch pipeline IS the streaming pipeline (same contract st8 pins for
+    # text): stream_warc → extract_links/extract_meta_pages, availableNow
+    # drain, output equal to the batch path over the same segments
+    import tempfile
+
+    from greenocr_spark.operators.links import extract_links
+    from greenocr_spark.operators.meta import extract_meta_pages
+    from greenocr_spark.sources.warc import read_warc, stream_warc, write_warc_dir
+    from greenocr_spark.streaming.face import run_available_now
+
+    pages = make_pages(60, seed=42)
+    d = str(tmp_path / "warc")
+    write_warc_dir(pages, d, n_segments=4)
+
+    batch_links = {
+        r["url"]: list(r["outlinks"])
+        for r in extract_links(read_warc(spark, d).select("url", "html")).collect()
+    }
+    stream = extract_links(stream_warc(spark, d).select("url", "html"))
+    qh = run_available_now(
+        stream, "lnk_stream_test", tempfile.mkdtemp(prefix="lnk_ckpt_")
+    )
+    qh.awaitTermination()
+    got = {
+        r["url"]: list(r["outlinks"])
+        for r in spark.sql("SELECT * FROM lnk_stream_test").collect()
+    }
+    assert got == batch_links and len(got) == 60
+
+    meta_stream = extract_meta_pages(stream_warc(spark, d).select("url", "html"))
+    run_available_now(
+        meta_stream, "meta_stream_test", tempfile.mkdtemp(prefix="meta_ckpt_")
+    ).awaitTermination()
+    got_m = {
+        r["url"]: r["title"]
+        for r in spark.sql("SELECT * FROM meta_stream_test").collect()
+    }
+    batch_m = {
+        r["url"]: r["title"]
+        for r in extract_meta_pages(
+            read_warc(spark, d).select("url", "html")
+        ).collect()
+    }
+    assert got_m == batch_m and len(got_m) == 60
