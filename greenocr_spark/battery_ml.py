@@ -696,11 +696,29 @@ def dd6_embedding_neardup(spark, sf_dir):
 
 
 # Multi-table sign-LSH for near-dup candidate generation: _DD7_TABLES
-# tables × _DD7_BITS hyperplanes each (OR-amplification, the banded-LSH
-# trick dd3 uses for MinHash). One table of k bits has collision prob
-# p^k per pair (p = 1 - angle/π); the union over L tables lifts recall to
-# 1-(1-p^k)^L while each table's equi-join stays bounded.
+# tables × k hyperplanes each (OR-amplification, the banded-LSH trick dd3
+# uses for MinHash). One table of k bits has collision prob p^k per pair
+# (p = 1 - angle/π); the union over L tables lifts recall to 1-(1-p^k)^L
+# while each table's equi-join stays bounded.
 _DD7_TABLES, _DD7_BITS = 4, 4
+
+
+def dd7_lsh_bits(n_rows: int, target_bucket_rows: int = 512) -> int:
+    """Hyperplanes per LSH table, derived from corpus size: k ≈
+    log2(N/target) so the EXPECTED bucket holds ~target rows and the
+    per-table candidate join stays bounded as the corpus grows — a fixed
+    k makes bucket size corpus-proportional (the shuf1/chk2 constant-
+    ceiling class: at 10^12 vectors, 4 bits = 16 buckets of 6×10^10 rows
+    each). Floor at the oracle's 4 bits (every shipped test scale, ≤8192
+    vectors, derives exactly 4 — the static DuckDB oracle is built for
+    k=4 and stays valid there); cap at 24 (16M buckets — more selective
+    than that trades recall for nothing at any plausible N; recall at
+    high k is recovered by adding TABLES, the orthogonal knob)."""
+    import math
+
+    return max(
+        _DD7_BITS, min(24, math.ceil(math.log2(max(2, n_rows / target_bucket_rows))))
+    )
 
 
 def _plane_dot_sql(col: str, plane: int) -> str:
@@ -719,11 +737,11 @@ def _table_bucket_sql(col: str, table: int) -> str:
     return f"CAST({' + '.join(terms)} AS BIGINT)"
 
 
-def _table_bucket_col(table: int, emb=None):
+def _table_bucket_col(table: int, emb=None, bits: int = _DD7_BITS):
     dbl = F.transform(emb if emb is not None else F.col("embedding"), lambda x: x.cast("double"))
     bucket = None
-    for b in range(_DD7_BITS):
-        plane = table * _DD7_BITS + b
+    for b in range(bits):
+        plane = table * bits + b
         signed = F.zip_with(
             dbl,
             F.sequence(F.lit(0), F.lit(63)),
@@ -751,16 +769,21 @@ def _table_bucket_col(table: int, emb=None):
     FROM e a JOIN e b ON a.tb = b.tb AND a.bk = b.bk AND a.vec_id < b.vec_id
     WHERE {_DOT_AB} >= 0.25""",
 )
-def dd7_lsh_neardup(spark, sf_dir):
+def dd7_lsh_neardup(spark, sf_dir, _n_override: int | None = None):
     # The SCALE path for embedding near-dup (VERDICT r01 item 3): candidate
-    # generation = equi-join on (table, bucket) over 4 sign-LSH tables of
-    # 4 bits each, then exact-cosine refine (dd6's expression) inside the
-    # buckets only, DISTINCT to merge multi-table hits. No nested-loop pair
-    # join anywhere (pinned by tests/test_ml_battery.py): per-table join
-    # multiplicity is bounded by the largest bucket, and the whole pipeline
+    # generation = equi-join on (table, bucket) over 4 sign-LSH tables,
+    # then exact-cosine refine (dd6's expression) inside the buckets only,
+    # DISTINCT to merge multi-table hits. No nested-loop pair join anywhere
+    # (pinned by tests/test_ml_battery.py): bits per table are DERIVED from
+    # the corpus size (dd7_lsh_bits: k ≈ log2(N/512), so expected bucket
+    # rows stay ~constant as the corpus grows — at every shipped test
+    # scale k=4, keeping the static oracle exact), and the whole pipeline
     # is one shuffle on the (table, bucket) key. dd6 stays as the bounded
     # brute-force correctness baseline; this runs at 10^12 rows.
+    # _n_override is a test-only hook pinning the large-N bit derivation.
     e = t(spark, sf_dir, "embeddings")
+    n_rows = _n_override if _n_override is not None else e.count()
+    bits = dd7_lsh_bits(n_rows)
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda a, x: a + x,
@@ -768,7 +791,10 @@ def dd7_lsh_neardup(spark, sf_dir):
     n = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / F.sqrt(sq)).alias("emb"),
-        *[_table_bucket_col(tb).alias(f"b{tb}") for tb in range(_DD7_TABLES)],
+        *[
+            _table_bucket_col(tb, bits=bits).alias(f"b{tb}")
+            for tb in range(_DD7_TABLES)
+        ],
     )
     ex = n.select(
         "vec_id",

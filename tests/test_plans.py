@@ -457,3 +457,27 @@ def test_km1_no_corpus_shuffle(spark):
     assert "partial_count" in p or "partial_sum" in p
     assert "BatchEvalPython" not in p
     assert p.count("embeddings.parquet") == 2  # corpus scan + K=8 seed scan
+
+
+def test_dd7_lsh_bits_scale_with_corpus(spark):
+    # same constant-ceiling class as shuf1/chk2: fixed k makes LSH bucket
+    # size corpus-proportional. k must grow as log2(N), stay at the
+    # oracle's 4 for every shipped test scale, and the large-N plan must
+    # key on more hyperplanes (wider bucket values) than the small-N plan.
+    from greenocr_spark.battery_ml import dd7_lsh_bits, dd7_lsh_neardup
+
+    assert dd7_lsh_bits(500) == 4 and dd7_lsh_bits(2000) == 4
+    assert dd7_lsh_bits(8192) == 4  # floor holds through the test scales
+    assert dd7_lsh_bits(10**6) == 11
+    assert dd7_lsh_bits(10**9) == 21
+    assert dd7_lsh_bits(10**12) == 24  # cap: selectivity beyond this buys
+    last = 0                            # nothing; tables recover recall
+    for n in [10**3, 10**5, 10**7, 10**9, 10**12]:
+        k = dd7_lsh_bits(n)
+        assert k >= last
+        last = k
+    # plan: the widest bucket bit present reveals the derived k (1 << (k-1))
+    big = plan_of(dd7_lsh_neardup(spark, SF_DIR, _n_override=10**9))
+    assert str(1 << 20) in big  # 21 bits → top term 2^20
+    small = plan_of(dd7_lsh_neardup(spark, SF_DIR))
+    assert str(1 << 20) not in small and "8" in small  # k=4 → top term 2^3
