@@ -54,6 +54,7 @@ _ROUND4_PRIORITY = [
     "a12_approx_distinct",
     "dec1_decontaminate",
     "gr1_doc_triangles",
+    "dd7_lsh_neardup",
     "ex4_corpus_hash",
     "ex1_extract_wrapped",
     # round-4 additions (first driver evidence)
