@@ -110,6 +110,64 @@ def _maybe_broadcast(df: DataFrame, n_blocks: int) -> DataFrame:
     return F.broadcast(df) if n_blocks <= PREFIX_SUM_MAX_BROADCAST_BLOCKS else df
 
 
+# A single-task window over the block table is fine while the table is at
+# most this many rows (~4M rows of (long, long) ≈ 100 MB); past it the
+# offsets computation recurses into super-blocks.
+PREFIX_SUM_MAX_WINDOW_ROWS = 1 << 22
+
+# Super-block fanout for the recursion: each level shrinks the table by
+# this factor, so even 10^15-row corpora terminate in 2 levels.
+PREFIX_SUM_FANOUT = 4096
+
+
+def _exclusive_offsets(
+    tot: DataFrame,
+    key: str,
+    val: str,
+    n_rows_est: float,
+    out: str = "off",
+    _depth: int = 0,
+) -> DataFrame:
+    """(key, off) where off = sum of `val` over all rows with smaller
+    `key` — the exclusive prefix sum of a NUMERIC-keyed totals table.
+
+    While the table fits one window task, this is a plain unpartitioned
+    running sum (bounded: ≤ PREFIX_SUM_MAX_WINDOW_ROWS rows). Beyond
+    that it recurses: key // FANOUT super-blocks get their own exclusive
+    offsets (one level smaller by 4096×), each super-block's rows then
+    rank locally in parallel — so no task at ANY level ever windows more
+    than max(FANOUT-sized local runs, the top table) rows. Depth is
+    log_4096(blocks): 2 levels cover 10^15-row corpora."""
+    if n_rows_est <= PREFIX_SUM_MAX_WINDOW_ROWS:
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+        return tot.select(
+            key, F.coalesce(F.sum(val).over(w), F.lit(0)).alias(out)
+        )
+    # depth-suffixed names: at depth d the key IS the previous level's
+    # super-block column, so unsuffixed names would overwrite it
+    sk, sv, so = f"_sblk{_depth}", f"_stot{_depth}", f"_soff{_depth}"
+    s = tot.withColumn(sk, (F.col(key) / PREFIX_SUM_FANOUT).cast("long"))
+    stot = s.groupBy(sk).agg(F.sum(val).alias(sv))
+    soff = _exclusive_offsets(
+        stot, sk, sv, n_rows_est / PREFIX_SUM_FANOUT, out=so, _depth=_depth + 1
+    )
+    w_loc = Window.partitionBy(sk).orderBy(key).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        s.join(
+            _maybe_broadcast(soff, int(n_rows_est / PREFIX_SUM_FANOUT) + 1),
+            sk,
+        )
+        .select(
+            key,
+            (
+                F.col(so) + F.coalesce(F.sum(val).over(w_loc), F.lit(0))
+            ).alias(out),
+        )
+    )
+
+
 # =========================================================================
 # Deduplication
 # =========================================================================
@@ -2125,12 +2183,10 @@ def chk2_pack_offsets(spark, sf_dir, _n_override: int | None = None):
         (F.col("doc_id") / bs).cast("long").alias("blk"),
     )
     blk_tot = d.groupBy("blk").agg(F.sum("n").alias("blk_tot"))
-    w_blk = Window.orderBy("blk").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # runs over the BLOCK table (~√N rows), never the corpus
-    offsets = blk_tot.select(
-        "blk", F.coalesce(F.sum("blk_tot").over(w_blk), F.lit(0)).alias("off")
-    )
+    # block offsets via _exclusive_offsets: a plain bounded window while
+    # the block table fits one task, recursing into super-blocks beyond —
+    # the corpus never funnels through a global window at ANY level
+    offsets = _exclusive_offsets(blk_tot, "blk", "blk_tot", n_rows / bs + 1)
     w_loc = Window.partitionBy("blk").orderBy("doc_id")
     return (
         d.join(_maybe_broadcast(offsets, n_rows // bs + 1), "blk")
@@ -3044,12 +3100,14 @@ def shuf1_train_order(spark, sf_dir, _n_override: int | None = None):
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias(
             "skey"
         ),
-    ).withColumn("blk", F.substring("skey", 1, k))
-    blk_n = c.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
-    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = blk_n.select(
-        "blk", F.coalesce(F.sum("n").over(w_blk), F.lit(0)).alias("off")
+        # numeric block key: fixed-length lowercase hex is ordered the same
+        # lexicographically and numerically, and a numeric key lets the
+        # offsets computation recurse into key//fanout super-blocks
+    ).withColumn(
+        "blk", F.conv(F.substring("skey", 1, k), 16, 10).cast("long")
     )
+    blk_n = c.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    offsets = _exclusive_offsets(blk_n, "blk", "n", float(16**k))
     w_loc = Window.partitionBy("blk").orderBy("skey", "doc_id")
     return (
         c.join(_maybe_broadcast(offsets, 16**k), "blk")

@@ -419,15 +419,25 @@ def test_shuf1_chk2_large_n_plan_drops_broadcast_and_widens_blocks(spark):
     # cheaper than shuffling the corpus for the offsets join); at 10^15 the
     # block table outgrows broadcast and the hint must be gone
     big_log = plan_of(shuf1_train_order(spark, SF_DIR, _n_override=10**12), "extended")
-    assert "ResolvedHint" in big_log
+    assert "ResolvedHint" in big_log and "_sblk" not in big_log
     huge_log = plan_of(shuf1_train_order(spark, SF_DIR, _n_override=10**15), "extended")
-    assert "ResolvedHint" not in huge_log
+    # at 10^15 the block table outgrows one window task: the offsets
+    # computation recurses into super-blocks (_sblk appears), the inner
+    # dim-sized super-offsets join keeps its hint (exactly one hint in the
+    # plan), and the corpus-level offsets join is UNHINTED
+    assert "_sblk" in huge_log
+    # exactly ONE hinted join in both regimes (extended mode prints it in
+    # multiple plan sections, so compare counts): at 10^12 it is the
+    # corpus-level offsets join, at 10^15 only the inner super-offsets
+    # join — i.e. the corpus-level join lost its hint, nothing gained one
+    assert huge_log.count("ResolvedHint") == big_log.count("ResolvedHint")
     assert "BroadcastHashJoin" in plan_of(_q(spark, "shuf1_train_order"))
 
     bigc_log = plan_of(chk2_pack_offsets(spark, SF_DIR, _n_override=10**12), "extended")
-    assert "ResolvedHint" in bigc_log
+    assert "ResolvedHint" in bigc_log and "_sblk" not in bigc_log
     hugec_log = plan_of(chk2_pack_offsets(spark, SF_DIR, _n_override=10**15), "extended")
-    assert "ResolvedHint" not in hugec_log
+    assert "_sblk" in hugec_log
+    assert hugec_log.count("ResolvedHint") == bigc_log.count("ResolvedHint")
     assert "BroadcastHashJoin" in plan_of(_q(spark, "chk2_pack_offsets"))
     # the corpus-side window still carries a partition spec in both regimes
     import re
@@ -481,3 +491,30 @@ def test_dd7_lsh_bits_scale_with_corpus(spark):
     assert str(1 << 20) in big  # 21 bits → top term 2^20
     small = plan_of(dd7_lsh_neardup(spark, SF_DIR))
     assert str(1 << 20) not in small and "8" in small  # k=4 → top term 2^3
+
+
+def test_exclusive_offsets_recursive_path_matches_flat(spark, monkeypatch):
+    # execute (not just plan) the super-block recursion: with the window
+    # threshold forced tiny, a 1000-block totals table recurses two levels
+    # and must produce exactly the flat running sum's offsets
+    import greenocr_spark.battery_ml as ml
+
+    tot = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(1000)], "blk long, n long"
+    )
+    flat = {
+        r["blk"]: r["off"]
+        for r in ml._exclusive_offsets(tot, "blk", "n", 1000).collect()
+    }
+    monkeypatch.setattr(ml, "PREFIX_SUM_MAX_WINDOW_ROWS", 50)
+    monkeypatch.setattr(ml, "PREFIX_SUM_FANOUT", 10)
+    rec = {
+        r["blk"]: r["off"]
+        for r in ml._exclusive_offsets(tot, "blk", "n", 1000).collect()
+    }
+    assert rec == flat
+    # running-sum sanity against pure python
+    import itertools
+    ns = [(i * 7) % 13 + 1 for i in range(1000)]
+    expect = dict(zip(range(1000), itertools.accumulate([0] + ns[:-1])))
+    assert flat == expect
