@@ -8,6 +8,7 @@ Commands:
     compact   --output DIR [--target-mb N] [--min-files K]
               merge small files in DIR/extracted (rewrite_data_files analog)
     curate    --input PATH --output DIR [--min-tokens N] [--max-dup-frac F]
+              [--eval-input PATH]  decontaminate against a benchmark table
               [--langs en,de,...] [--no-neardup] [--no-resample] [--no-resume]
               quality gates -> dedup -> near-dup removal -> mixture resample,
               stage-level checkpoint/resume; prints the funnel as JSON
@@ -105,6 +106,10 @@ def main() -> int:
         ap.add_argument("--langs", default=None)
         ap.add_argument("--no-neardup", action="store_true")
         ap.add_argument("--no-resample", action="store_true")
+        ap.add_argument("--eval-input", default=None,
+                        help="benchmark table (parquet with a text column) "
+                             "to decontaminate against")
+        ap.add_argument("--decon-min-overlap", type=int, default=2)
         ap.add_argument("--no-resume", action="store_true")
         a = ap.parse_args(rest)
         from greenocr_spark.plans.curate import read_curate_manifest, run_curate_job
@@ -121,6 +126,9 @@ def main() -> int:
             langs=tuple(a.langs.split(",")) if a.langs else None,
             neardup=not a.no_neardup,
             resample=not a.no_resample,
+            eval_docs=(spark.read.parquet(a.eval_input)
+                       if a.eval_input else None),
+            decon_min_overlap=a.decon_min_overlap,
             resume=not a.no_resume,
         )
         funnel = [

@@ -44,6 +44,7 @@ from pyspark.errors import AnalysisException
 from greenocr_spark.battery_ml import (
     _mixture_weight_table,
     _neardup_losers,
+    _spark_gram3_hashes,
     _spark_words,
 )
 
@@ -89,6 +90,48 @@ def _exact_dedup(cur: DataFrame) -> DataFrame:
     )
 
 
+def _eval_grams(eval_docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram md5 hashes of a benchmark/eval table — the
+    dec1 kernel's eval side (benchmark-sized, broadcastable)."""
+    return (
+        eval_docs.select(_spark_words().alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(F.explode(_spark_gram3_hashes()).alias("gh"))
+        .distinct()
+    )
+
+
+def _eval_fingerprint(eval_grams: DataFrame) -> str:
+    """Deterministic content fingerprint of the eval gram set (xor of
+    60-bit hash prefixes — order-insensitive, one cheap aggregate over a
+    benchmark-sized table). Committed with the params so a CHANGED eval
+    set cannot silently resume against survivor sets decontaminated
+    under the old one — same drift class the params guard exists for."""
+    row = eval_grams.select(
+        F.conv(F.substring("gh", 1, 15), 16, 10).cast("long").alias("h")
+    ).agg(F.bit_xor("h").alias("x"), F.count("*").alias("n")).first()
+    return f"{row['x']}:{row['n']}"
+
+
+def _decontaminate(cur: DataFrame, eval_grams: DataFrame, min_overlap: int) -> DataFrame:
+    # dec1 shape: eval grams broadcast (corpus never shuffles for the
+    # join), flagged docs = >= min_overlap distinct shared grams, survivors
+    # anti-join back on doc_id
+    g = (
+        cur.select("doc_id", _spark_words().alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(_spark_gram3_hashes()).alias("gh"))
+    )
+    flagged = (
+        g.join(F.broadcast(eval_grams), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n"))
+        .filter(F.col("n") >= min_overlap)
+        .select("doc_id")
+    )
+    return cur.select("doc_id").join(flagged, "doc_id", "left_anti")
+
+
 def _resample(cur: DataFrame) -> DataFrame:
     weights = _mixture_weight_table(cur).select(
         "source", "lang", F.expr("least(1000000, weight_ppm)").alias("keep_ppm")
@@ -115,6 +158,8 @@ def run_curate_job(
     langs: tuple[str, ...] | None = None,
     neardup: bool = True,
     resample: bool = True,
+    eval_docs: DataFrame | None = None,
+    decon_min_overlap: int = 2,
     run_id: str | None = None,
     resume: bool = True,
 ) -> DataFrame:
@@ -123,6 +168,7 @@ def run_curate_job(
     funnel row per freshly computed stage in out_dir/manifest."""
     run_id = run_id or uuid.uuid4().hex[:12]
 
+    eval_grams = _eval_grams(eval_docs) if eval_docs is not None else None
     params = json.dumps(
         {
             "min_tokens": min_tokens,
@@ -130,6 +176,17 @@ def run_curate_job(
             "langs": sorted(langs) if langs else None,
             "neardup": neardup,
             "resample": resample,
+            # eval CONTENT is fingerprinted, not just the on/off flag: a
+            # changed benchmark set must fail the drift check, because the
+            # committed decon survivors were computed under the old one
+            "decon": (
+                {
+                    "min_overlap": decon_min_overlap,
+                    "eval_fp": _eval_fingerprint(eval_grams),
+                }
+                if eval_grams is not None
+                else None
+            ),
         },
         sort_keys=True,
     )
@@ -186,6 +243,13 @@ def run_curate_job(
                 lambda cur: cur.select("doc_id").join(
                     _neardup_losers(cur), "doc_id", "left_anti"
                 ),
+            )
+        )
+    if eval_grams is not None:
+        stages.append(
+            (
+                "decon",
+                lambda cur: _decontaminate(cur, eval_grams, decon_min_overlap),
             )
         )
     if resample:

@@ -124,3 +124,34 @@ def test_curate_full_recompute_recommits_params_and_manifest(spark, tmp_path):
     with _pt.raises(ValueError, match="params drift"):
         run_curate_job(spark, docs, out, min_tokens=4, resample=False,
                        neardup=False)
+
+
+def test_curate_decontamination_stage(spark, tmp_path):
+    # dec1's kernel as a job stage: docs sharing >= min_overlap word
+    # 3-grams with the eval set drop; the eval CONTENT is fingerprinted
+    # into the params, so a changed benchmark set fails the drift check
+    # instead of silently resuming old survivor sets.
+    out = str(tmp_path / "cur")
+    docs = _corpus(spark)
+    # doc 7 verbatim in the eval set; doc 8 shares nothing
+    eval_docs = spark.createDataFrame(
+        [(0, "completely unrelated text about distributed query engines rocks")],
+        "eid long, text string",
+    )
+    kw = dict(min_tokens=4, max_dup_bigram_frac=0.5, langs=("en",),
+              neardup=False, resample=False)
+    cur = run_curate_job(spark, docs, out, eval_docs=eval_docs, **kw)
+    ids = sorted(r["doc_id"] for r in cur.select("doc_id").collect())
+    assert 7 not in ids and 8 in ids and 9 in ids
+    m = read_curate_manifest(spark, out)
+    stages = {r["stage"] for r in m.collect()}
+    assert "decon" in stages
+    # resume with the SAME eval set: clean no-op
+    run_curate_job(spark, docs, out, eval_docs=eval_docs, **kw)
+    # a different eval set must drift-raise
+    other = spark.createDataFrame(
+        [(0, "another unique document describing shuffle partitioning tricks")],
+        "eid long, text string",
+    )
+    with pytest.raises(ValueError, match="params drift"):
+        run_curate_job(spark, docs, out, eval_docs=other, **kw)
