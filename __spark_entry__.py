@@ -63,6 +63,7 @@ _ROUND4_PRIORITY = [
     "ex7_outlink_hash",
     "lnk1_host_graph",
     "ex8_meta_hash",
+    "st10_stream_link_hash",
     # (2) r01-stale entries
     "a16_unpivot",
     "w1_ctc_collapse",

@@ -3863,3 +3863,50 @@ def ex8_meta_hash(spark, sf_dir):
     return mt.select(row_h.alias("h")).agg(
         F.bit_xor("h").alias("corpus_hash"), F.count("*").alias("n_docs")
     )
+
+
+@q(
+    "st10_stream_link_hash",
+    """SELECT CAST(286616767658516744 AS BIGINT) AS corpus_hash,
+              CAST(1500 AS BIGINT) AS n_docs""",
+)
+def st10_stream_link_hash(spark, sf_dir):
+    # §2.10 × web graph: the STREAMING face of the outlink harvest —
+    # stream_warc over the same 1500-page WARC fixture → extract_links →
+    # ex7's xor-hash canon, availableNow drain. Must land on ex7's frozen
+    # pure-Python literal: batch-parquet (ex7) and streaming-WARC (this)
+    # harvests are string-identical, the st8 container-independence
+    # argument extended to the graph face (the link stage is a pure
+    # DataFrame→DataFrame function, so the batch pipeline IS the
+    # streaming pipeline).
+    import tempfile
+    import uuid as _uuid
+
+    from greenocr_spark.operators.links import extract_links
+    from greenocr_spark.sources.warc import stream_warc
+
+    pages = stream_warc(spark, _fixture_warc_dir(1500)).select("url", "html")
+    lk = extract_links(pages)
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("url"),
+        F.array_join("outlinks", ";"),
+        F.col("n_links").cast("string"),
+    )
+    row_h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
+    hashed = lk.select(row_h.alias("h")).agg(
+        F.bit_xor("h").alias("corpus_hash"), F.count("*").alias("n_docs")
+    )
+    name = f"st10_{_uuid.uuid4().hex[:8]}"
+    qh = (
+        hashed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st10_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not qh.awaitTermination(600):
+        qh.stop()
+        raise TimeoutError("st10 streaming drain did not finish within 600s")
+    return spark.table(name)
