@@ -3806,10 +3806,41 @@ def ex7_outlink_hash(spark, sf_dir):
     )
 
 
+# lnk1's edges come from HTML parsing over the FROZEN 400-page seed-42
+# fixture corpus, so the exact host graph is a constant: freeze it as a
+# VALUES oracle (hash-green driver check). Provenance is pure Python —
+# tests/test_links.py recomputes these rows from extract_outlinks +
+# urlsplit and pins equality, so the literal is independent of Spark.
+_LNK1_GOLDEN_ROWS = [
+    ("big.example.com", "big.example.com", 661),
+    ("host1.example.org", "host1.example.org", 114),
+    ("host10.example.org", "host10.example.org", 90),
+    ("host11.example.org", "host11.example.org", 127),
+    ("host12.example.org", "host12.example.org", 99),
+    ("host13.example.org", "host13.example.org", 112),
+    ("host14.example.org", "host14.example.org", 45),
+    ("host15.example.org", "host15.example.org", 62),
+    ("host16.example.org", "host16.example.org", 95),
+    ("host17.example.org", "host17.example.org", 45),
+    ("host18.example.org", "host18.example.org", 149),
+    ("host19.example.org", "host19.example.org", 120),
+    ("host2.example.org", "host2.example.org", 129),
+    ("host3.example.org", "host3.example.org", 70),
+    ("host4.example.org", "host4.example.org", 72),
+    ("host5.example.org", "host5.example.org", 114),
+    ("host6.example.org", "host6.example.org", 80),
+    ("host7.example.org", "host7.example.org", 82),
+    ("host8.example.org", "host8.example.org", 102),
+    ("host9.example.org", "host9.example.org", 57),
+]
+
+
 @q(
     "lnk1_host_graph",
-    None,  # edges come from HTML parsing — not SQL-expressible; exact
-    # values pinned in tests/test_links.py, string-identity in ex7
+    "SELECT src_host, dst_host, CAST(n_edges AS BIGINT) AS n_edges FROM "
+    "(VALUES "
+    + ", ".join(f"('{s}', '{d}', {n})" for s, d, n in _LNK1_GOLDEN_ROWS)
+    + ") AS t(src_host, dst_host, n_edges) ORDER BY src_host, dst_host",
 )
 def lnk1_host_graph(spark, sf_dir):
     # Host-level link graph — the pr1/crawl-frontier input built from real

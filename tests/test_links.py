@@ -228,3 +228,20 @@ def test_link_and_meta_stages_run_under_streaming(spark, tmp_path):
         ).collect()
     }
     assert got_m == batch_m and len(got_m) == 60
+
+
+def test_lnk1_golden_rows_provenance():
+    # the VALUES oracle's rows recomputed in pure Python (extract_outlinks
+    # + urlsplit host parse) — the frozen literal is independent of Spark
+    from urllib.parse import urlsplit
+
+    from greenocr_spark.battery_ml import _LNK1_GOLDEN_ROWS
+
+    counts: dict = {}
+    for p in make_pages(400, seed=42):
+        src = urlsplit(p["url"]).hostname
+        for out in extract_outlinks(p["html"], base_url=p["url"]):
+            dst = urlsplit(out).hostname
+            counts[(src, dst)] = counts.get((src, dst), 0) + 1
+    expect = sorted((s, d, n) for (s, d), n in counts.items())
+    assert expect == sorted(_LNK1_GOLDEN_ROWS)
