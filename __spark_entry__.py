@@ -64,6 +64,8 @@ _ROUND4_PRIORITY = [
     "lnk1_host_graph",
     "ex8_meta_hash",
     "st10_stream_link_hash",
+    "ann5_truncated_refine",
+    "samp3_stratum_topk",
     # (2) r01-stale entries
     "a16_unpivot",
     "w1_ctc_collapse",

@@ -3941,3 +3941,112 @@ def st10_stream_link_hash(spark, sf_dir):
         qh.stop()
         raise TimeoutError("st10 streaming drain did not finish within 600s")
     return spark.table(name)
+
+
+_DOT16 = (
+    "list_sum(list_transform(range(1, 17), i -> "
+    "CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))"
+)
+
+
+@q(
+    "ann5_truncated_refine",
+    f"""WITH q AS (SELECT list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)) AS qe,
+                   sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+            FROM embeddings WHERE vec_id = 0),
+    cand AS (SELECT e.vec_id, e.embedding
+             FROM embeddings e, q WHERE e.vec_id <> 0
+             ORDER BY {_DOT16} DESC, e.vec_id LIMIT 50)
+    SELECT e.vec_id,
+           round(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn),
+                 4) AS cos
+    FROM cand e, q
+    ORDER BY list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn)
+             DESC, e.vec_id
+    LIMIT 5""",
+)
+def ann5_truncated_refine(spark, sf_dir):
+    # Truncated-dimension two-stage ANN (the Matryoshka/ADSampling shape):
+    # coarse-rank every vector by the dot of its FIRST 16 dims against the
+    # query (4× less arithmetic and — with a dim-sliced column layout —
+    # 4× less I/O per scanned vector), keep the top 50, then refine with
+    # the exact 64-dim cosine inside the candidate set only. Complements
+    # ann3 (IVF prunes WHICH vectors are scanned; truncation prunes HOW
+    # MUCH of each vector the coarse pass reads). Scale shape: query is a
+    # broadcast row, both stages are TakeOrdered (never a global sort),
+    # the refine input is candidate-bounded, the corpus never shuffles.
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+        )
+
+    qv = e.filter(F.col("vec_id") == 0).select(
+        dbl.alias("qe"), norm(dbl).alias("qn")
+    )
+    coarse = dot(F.slice(dbl, 1, 16), F.slice(F.col("qe"), 1, 16))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "embedding", "qe", "qn", coarse.alias("_c16"))
+        .orderBy(F.desc("_c16"), "vec_id")
+        .limit(50)
+    )
+    cos = dot(dbl, F.col("qe")) / (norm(dbl) * F.col("qn"))
+    return (
+        cand.select("vec_id", cos.alias("_cos"))
+        .orderBy(F.desc("_cos"), "vec_id")
+        .limit(5)
+        .select("vec_id", F.round("_cos", 4).alias("cos"))
+    )
+
+
+@q(
+    "samp3_stratum_topk",
+    """WITH r AS (SELECT doc_id, source,
+                         md5(CAST(doc_id AS VARCHAR) || ':s3') AS skey
+                  FROM documents),
+    k AS (SELECT doc_id, source, skey,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY skey, doc_id) AS rk
+          FROM r)
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM k WHERE rk <= 3""",
+)
+def samp3_stratum_topk(spark, sf_dir):
+    # Deterministic fixed-size per-stratum sample — reservoir sampling's
+    # reproducible twin (k docs per source, selection = smallest seeded
+    # md5 ranks, so reruns and resumed runs pick the SAME sample; the
+    # per-domain cap every mixture pipeline needs next to samp1's
+    # rate-based carve). Scale shape: one window keyed by the stratum —
+    # a single source-partitioned shuffle with rank short-circuiting;
+    # no stratum ever needs more than k rows retained per task after the
+    # running rank, and no global order exists anywhere.
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":s3"))).alias(
+            "skey"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("skey", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )

@@ -518,3 +518,20 @@ def test_exclusive_offsets_recursive_path_matches_flat(spark, monkeypatch):
     ns = [(i * 7) % 13 + 1 for i in range(1000)]
     expect = dict(zip(range(1000), itertools.accumulate([0] + ns[:-1])))
     assert flat == expect
+
+
+def test_ann5_two_stage_take_ordered(spark):
+    # truncated-dim ANN: both stages are TakeOrdered (never a global
+    # sort), the query is broadcast, nothing is row-Python
+    p = plan_of(_q(spark, "ann5_truncated_refine"))
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_samp3_single_stratum_shuffle(spark):
+    # per-stratum sample: exactly one exchange (the stratum window key);
+    # rank short-circuits with a WindowGroupLimit below the window
+    p = plan_of(_q(spark, "samp3_stratum_topk"))
+    assert p.count("+- Exchange") == 1
+    assert "WindowGroupLimit" in p
