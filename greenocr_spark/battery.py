@@ -694,17 +694,29 @@ def w3_moving_avg(spark, sf_dir):
 @q(
     "w5_second_diff",
     """SELECT event_id,
-              round(value - 2 * lag(value) OVER w + lag(value, 2) OVER w, 4) AS laplace
+              round(value - 2 * lag(value) OVER w + lag(value, 2) OVER w, 4)
+                  + 0.0 AS laplace
        FROM events
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
 )
 def w5_second_diff(spark, sf_dir):
-    # W5: Laplacian second difference (train.py:630) over the event sequence
+    # W5: Laplacian second difference (train.py:630) over the event
+    # sequence. `+ 0.0` on BOTH sides: a second difference that lands
+    # exactly on zero can round to -0.0 in one engine and +0.0 in the
+    # other (seen once at sf0.1), and the two are value-equal but
+    # byte-hash-different; IEEE -0.0 + 0.0 = +0.0 normalizes the sign
+    # while changing nothing else (NULLs stay NULL).
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return t(spark, sf_dir, "events").select(
         "event_id",
-        F.round(
-            F.col("value") - 2 * F.lag("value", 1).over(w) + F.lag("value", 2).over(w), 4
+        (
+            F.round(
+                F.col("value")
+                - 2 * F.lag("value", 1).over(w)
+                + F.lag("value", 2).over(w),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("laplace"),
     )
 
