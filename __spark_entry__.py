@@ -39,96 +39,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass checks roughly the first 50 queries() entries
-# per round.  Round-4 window (VERDICT r03 tasks 1, 2, 4, 5, 7), in
-# evidence-need order: (1) every entry whose CODE changed this round (shuf1/
-# chk2 block sizing, a12's new oracle, single-scan dec1, degree-ordered gr1)
-# plus the flagship byte-identity re-confirm, (2) the 23 entries whose newest
-# driver evidence is r01 (VERDICT r03 "What's missing" 1), then (3) the
-# oldest r02 entries, in their r02 order, as far as the window reaches.  The
-# ~24 r02 entries past the cutoff (all green r02 AND re-checked by the local
-# sf0.001+sf0.01 oracle gates every session) rotate in round 5.
-_ROUND4_PRIORITY = [
-    # (1) code changed this round + flagship re-confirm
-    "shuf1_train_order",
-    "chk2_pack_offsets",
-    "a12_approx_distinct",
-    "dec1_decontaminate",
-    "gr1_doc_triangles",
-    "dd7_lsh_neardup",
-    "ex4_corpus_hash",
-    "ex1_extract_wrapped",
-    # round-4 additions (first driver evidence)
-    "voc1_vocab_topk",
-    "km1_kmeans_estep",
-    "ex7_outlink_hash",
-    "lnk1_host_graph",
-    "ex8_meta_hash",
-    "st10_stream_link_hash",
-    "ann5_truncated_refine",
-    "samp3_stratum_topk",
-    # (2) r01-stale entries
-    "a16_unpivot",
-    "w1_ctc_collapse",
-    "w7_topk_per_group",
-    "w3_moving_avg",
-    "w5_second_diff",
-    "w4_contrast_rescore",
-    "ts1_resample_ffill",
-    "w8_first_last",
-    "o1_topk_orders",
-    "u1_union_tagged",
-    "u2_intersect",
-    "u3_except",
-    "f25_histogram",
-    "f24_scalar_subquery",
-    "a18_stats_suite",
-    "f1_canon_ws",
-    "f2_string_suite",
-    "f18_date_trunc",
-    "f19_json_extract",
-    "f20_url_host",
-    "dd1_dedup_exact",
-    "dd2_minhash_signature",
-    "dd3_minhash_band_pairs",
-    # (3) oldest r02 entries, as far as the 50-entry window reaches
-    "s1_scan_project",
-    "p1_null_filter",
-    "p6_regex_strip",
-    "p7_clamp_math",
-    "f12_ctc_width_law",
-    "p3_feasibility_filter",
-    "a8_minmax_normalize",
-    "w2_argmax_per_group",
-    "j3_dict_decode_join",
-    "j1_broadcast_join_agg",
-    "j2_brand_quantity",
-    "j5_semi_join",
-    "dd4_word_jaccard_pairs",
-    "dd5_simhash",
-    "dd6_embedding_neardup",
-    "dd7_lsh_neardup",
-    "dd8_dup_clusters",
-    "dd9_editdist_verify",
-    "ann1_cosine_topk",
-    "ann2_lsh_buckets",
-    "ann3_ivf_topk",
-    "tx1_token_count",
-    # rows-only binary surfaces (no SQL oracle by design; byte-identity is
-    # separately driver-proven by ex4/ex5/st8)
+# per round, so the dict is ordered evidence-need-first (VERDICT r04 tasks 1
+# and 8): (1) a short hand list of entries whose CODE changed this round
+# (they need fresh evidence regardless of age) plus the flagship
+# byte-identity re-confirm, then (2) every other entry sorted by the age of
+# its newest CORRECTNESS_r*.json row, oldest first (never-checked entries
+# sort first of all), tie-broken by registry order.  The ordering is derived
+# MECHANICALLY from the CORRECTNESS files at call time — no hand-maintained
+# rotation list to rot.
+_CHANGED_THIS_ROUND = [
+    # ex2/ex3/st3 gained frozen golden-hash oracles (VERDICT r04 task 2);
+    # ex1/ex4 re-confirm flagship byte-identity after any extractor-adjacent
+    # change; links/meta spec fixes (ADVICE r04) re-check the web-graph face.
     "ex2_extract_fixture_pages",
     "ex3_extract_pdf_branch",
+    "st3_stream_extract",
+    "ex4_corpus_hash",
+    "ex1_extract_wrapped",
+    "ex7_outlink_hash",
+    "ex8_meta_hash",
+    "st10_stream_link_hash",
+    "lnk1_host_graph",
+    "shuf1_train_order",
+    "chk2_pack_offsets",
+    "gr1_doc_triangles",
+    "km1_kmeans_estep",
+    "pr1_pagerank",
 ]
 
+
+def _evidence_age() -> dict[str, int]:
+    """entry -> newest round with a driver CORRECTNESS row (0 = never)."""
+    import glob
+    import json
+    import re
+
+    newest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, stale-first."""
     reg = _registry()
+    age = _evidence_age()
+    names = list(reg)
+    pos = {n: i for i, n in enumerate(names)}
+    rest = [n for n in names if n not in _CHANGED_THIS_ROUND]
+    rest.sort(key=lambda n: (age.get(n, 0), pos[n]))
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND4_PRIORITY:
-        if name in reg:
-            ordered[name] = reg[name][0]
-    for name, (fn, _) in reg.items():
-        if name not in ordered:
-            ordered[name] = fn
+    for name in [n for n in _CHANGED_THIS_ROUND if n in reg] + rest:
+        ordered[name] = reg[name][0]
     return ordered
 
 

@@ -2348,19 +2348,24 @@ def ex1_extract_wrapped(spark, sf_dir):
     return extract_pages(pages).select("url", "text")
 
 
-@q("ex2_extract_fixture_pages", None)  # binary degradation matrix — not SQL
+@q(
+    "ex2_extract_fixture_pages",
+    """SELECT CAST(387176475572252077 AS BIGINT) AS corpus_hash,
+              CAST(400 AS BIGINT) AS n_docs""",
+)
 def ex2_extract_fixture_pages(spark, sf_dir):
     # Full degradation-matrix pipeline over generated fixture pages
-    # (entity soup, unclosed tags, charset quirks, PDFs, ...). Byte-identity
-    # vs the pure-Python reference is asserted in tests/test_golden.py; here
-    # the driver gets a rows-only stability check.
+    # (entity soup, unclosed tags, charset quirks, PDFs, ...), reduced to the
+    # ex4-style order-insensitive sha256-xor corpus hash so the driver gets a
+    # hash-green byte-identity check (VERDICT r04 task 2 — closes the
+    # no_oracle class). The literal is computed by the pure-Python reference
+    # extractor over the same 400-page seed-42 fixture
+    # (tests/test_spark_pipeline.py::test_fixture400_hashes_frozen); row-level
+    # byte identity is additionally pytest-pinned in test_spark_pipeline.py.
     from greenocr_spark.operators.extract import extract_pages
 
-    path = _fixture_pages_path(400)
-    pages = spark.read.parquet(path)
-    return extract_pages(pages).select(
-        "url", "text", "n_blocks", "n_content", "n_boilerplate", "kind"
-    )
+    pages = spark.read.parquet(_fixture_pages_path(400))
+    return _corpus_hash_reduce(extract_pages(pages))
 
 
 @q(
@@ -2649,25 +2654,39 @@ def st6_stream_static_join(spark, sf_dir):
     return spark.table(name)
 
 
-@q("ex3_extract_pdf_branch", None)  # binary PDF layout parse — not SQL
+@q(
+    "ex3_extract_pdf_branch",
+    """SELECT CAST(903280726741984231 AS BIGINT) AS corpus_hash,
+              CAST(25 AS BIGINT) AS n_docs""",
+)
 def ex3_extract_pdf_branch(spark, sf_dir):
     # The PDF router branch in isolation: fixture rows whose payload carries
     # the %PDF- magic go through the layout-parse mini-parser (reading-order
-    # spans). Byte-identity vs the pure-Python parser is asserted in
-    # tests/test_spark_pipeline.py; rows-only here.
+    # spans), reduced to the ex4-style xor corpus hash. The literal is the
+    # pure-Python parser's value over the 25 PDF rows of the 400-page seed-42
+    # fixture (tests/test_spark_pipeline.py::test_fixture400_hashes_frozen) —
+    # hash-green proves the distributed PDF branch is byte-identical to the
+    # reference parser (VERDICT r04 task 2).
     from greenocr_spark.functions.sqlfns import pdf_magic_expr
     from greenocr_spark.operators.extract import extract_pages
 
     pages = spark.read.parquet(_fixture_pages_path(400)).filter(pdf_magic_expr("html"))
-    return extract_pages(pages).select("url", "text", "n_blocks", "kind")
+    return _corpus_hash_reduce(extract_pages(pages))
 
 
-@q("st3_stream_extract", None)  # streaming face over binary payloads — not SQL
+@q(
+    "st3_stream_extract",
+    """SELECT CAST(387176475572252077 AS BIGINT) AS corpus_hash,
+              CAST(400 AS BIGINT) AS n_docs""",
+)
 def st3_stream_extract(spark, sf_dir):
     # §2.10: the SAME extract_pages stage function run under Structured
     # Streaming (stages are pure DataFrame→DataFrame, so the batch pipeline
     # is the streaming pipeline). File source, availableNow drain, memory
-    # sink; at scale this is the Kafka/WARC-drop ingestion face.
+    # sink; at scale this is the Kafka/WARC-drop ingestion face. Reduced to
+    # the ex4-style xor corpus hash in complete mode — the literal is the
+    # SAME 400-page value ex2 pins (streaming path ≡ batch path ≡ pure-Python
+    # reference, byte for byte; VERDICT r04 task 2).
     import tempfile
     import uuid as _uuid
 
@@ -2679,10 +2698,10 @@ def st3_stream_extract(spark, sf_dir):
 
     stream_dir = os.path.dirname(_fixture_pages_path(400))
     name = f"st3_{_uuid.uuid4().hex[:8]}"
-    stream = extract_stream(stream_pages(spark, stream_dir)).select(
-        "url", "text", "n_blocks", "kind"
+    stream = _corpus_hash_reduce(extract_stream(stream_pages(spark, stream_dir)))
+    qh = run_available_now(
+        stream, name, tempfile.mkdtemp(prefix="st3_ckpt_"), output_mode="complete"
     )
-    qh = run_available_now(stream, name, tempfile.mkdtemp(prefix="st3_ckpt_"))
     if not qh.awaitTermination(600):
         qh.stop()  # don't leak a running query into the session
         raise TimeoutError("stream did not drain within 600s")

@@ -34,6 +34,12 @@ _A_HREF_RE = re.compile(
 
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
 
+# first <base href> of the page, same quoting forms as _A_HREF_RE
+_BASE_HREF_RE = re.compile(
+    r"<base\b[^>]*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 def extract_outlinks(raw, base_url: str | None = None) -> list[str]:
     """All unique http(s) outlinks of a page, in first-seen order.
@@ -46,6 +52,9 @@ def extract_outlinks(raw, base_url: str | None = None) -> list[str]:
     - relative hrefs resolve against base_url with urljoin (rooted,
       protocol-relative and path-relative forms all covered); without a
       base_url only absolute http(s) hrefs survive;
+    - a declared <base href> overrides the page url per HTML semantics:
+      the effective base is urljoin(base_url, first base href), so both
+      absolute and relative base declarations resolve (ADVICE r04);
     - fragments-only, javascript:/mailto:/tel:/data: and empty hrefs drop;
     - PDF payloads have no markup → [] (the layout branch owns them).
     """
@@ -58,6 +67,11 @@ def extract_outlinks(raw, base_url: str | None = None) -> list[str]:
         s = decode_bytes(b)
     else:
         s = raw
+    bm = _BASE_HREF_RE.search(s)
+    if bm:
+        declared = unescape(bm.group(1) or bm.group(2) or bm.group(3) or "").strip()
+        if declared:
+            base_url = urljoin(base_url, declared) if base_url else declared
     out: list[str] = []
     seen: set[str] = set()
     for m in _A_HREF_RE.finditer(s):

@@ -43,8 +43,10 @@ def extract_meta(raw, base_url: str | None = None) -> dict:
 
     - title: first <title> content, entity-decoded, whitespace-canonical
       (same canon_ws as the text spec); None if absent/empty;
-    - robots: content of the first <meta name=robots>, lowercased with
-      canonical spacing (``noindex, nofollow`` → ``noindex,nofollow``);
+    - robots: union of the tokens of EVERY <meta name=robots> in
+      first-seen order (most-restrictive-wins — a later noindex still
+      counts; ADVICE r04), lowercased with canonical spacing
+      (``noindex, nofollow`` → ``noindex,nofollow``);
     - noindex: True iff the robots directive contains the noindex or none
       token (the exclusion rule for training corpora);
     - canonical: first <link rel=canonical href>, urljoin-resolved like
@@ -70,16 +72,16 @@ def extract_meta(raw, base_url: str | None = None) -> dict:
         t = canon_ws(unescape(m.group(1)))
         title = t or None
 
-    robots = None
+    rtokens: list[str] = []
     for tag in _META_RE.findall(s):
         a = _attrs(tag)
         if a.get("name", "").strip().lower() == "robots":
-            robots = ",".join(
-                p.strip() for p in a.get("content", "").lower().split(",") if p.strip()
-            ) or None
-            break
-    tokens = set(robots.split(",")) if robots else set()
-    noindex = bool(tokens & {"noindex", "none"})
+            for p in a.get("content", "").lower().split(","):
+                p = p.strip()
+                if p and p not in rtokens:
+                    rtokens.append(p)
+    robots = ",".join(rtokens) or None
+    noindex = bool(set(rtokens) & {"noindex", "none"})
 
     canonical = None
     for tag in _LINK_RE.findall(s):

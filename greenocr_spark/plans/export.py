@@ -118,10 +118,12 @@ def _shards_match_manifest(
     shards_dir = os.path.join(out_dir, "shards")
     if not os.path.isdir(shards_dir):
         return False
+    # skip unparsable partition dirs (shard_id=__HIVE_DEFAULT_PARTITION__,
+    # stray temp dirs) instead of crashing resume on ValueError (ADVICE r04)
     on_disk = {
         int(name.split("=", 1)[1])
         for name in os.listdir(shards_dir)
-        if name.startswith("shard_id=")
+        if name.startswith("shard_id=") and name.split("=", 1)[1].isdigit()
     }
     manifest_ids = {
         r["shard_id"]

@@ -190,8 +190,10 @@ def run_extract_job(
         try:
             return spark.read.parquet(ext_path)
         except Exception:
+            # forward with_links so the empty path's schema matches the
+            # non-empty path's (outlinks/n_links columns; ADVICE r04)
             return spark.createDataFrame(
-                [], extract_schema(["part_id"], df.schema)
+                [], extract_schema(["part_id"], df.schema, with_links=with_links)
             )
 
     ext_path = _extracted_dir(out_dir)

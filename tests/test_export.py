@@ -5,6 +5,7 @@ run-over-run, resume is a no-op, and params drift fails loudly."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pytest
 
@@ -289,3 +290,18 @@ def test_export_resume_detects_deleted_shards(spark, tmp_path):
     # and the rebuilt export resumes cleanly again
     s3 = run_export_job(spark, docs, out, seq_len=16, rows_per_shard=500, seed=7)
     assert s3["resumed"]
+
+
+def test_export_resume_tolerates_stray_shard_dirs(spark, tmp_path):
+    # a non-numeric partition dir (HIVE default partition, stray temp dir)
+    # under shards/ must not crash the resume check (ADVICE r04) — resume
+    # still no-ops because every manifest shard is present.
+    out = str(tmp_path / "exp")
+    docs = _docs(spark)
+    run_export_job(spark, docs, out, seq_len=16, rows_per_shard=500, seed=7)
+    h1 = _layout_hash(spark, out)
+    os.makedirs(f"{out}/shards/shard_id=__HIVE_DEFAULT_PARTITION__", exist_ok=True)
+    os.makedirs(f"{out}/shards/shard_id=3.tmp-xyz", exist_ok=True)
+    s = run_export_job(spark, docs, out, seq_len=16, rows_per_shard=500, seed=7)
+    assert s["resumed"] is True
+    assert _layout_hash(spark, out) == h1

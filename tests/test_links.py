@@ -245,3 +245,28 @@ def test_lnk1_golden_rows_provenance():
             counts[(src, dst)] = counts.get((src, dst), 0) + 1
     expect = sorted((s, d, n) for (s, d), n in counts.items())
     assert expect == sorted(_LNK1_GOLDEN_ROWS)
+
+
+def test_outlink_base_href_override():
+    # <base href> overrides the page url (HTML semantics; ADVICE r04):
+    # absolute base, relative base (resolved against the page url first),
+    # and the no-base control all resolve differently.
+    a = b'<a href="x/y">x</a><a href="/root">r</a>'
+    assert extract_outlinks(
+        b'<head><base href="https://cdn.example.net/assets/"></head>' + a,
+        base_url="https://page.example.com/dir/p",
+    ) == ["https://cdn.example.net/assets/x/y", "https://cdn.example.net/root"]
+    # relative base joins the page url before hrefs resolve
+    assert extract_outlinks(
+        b"<head><base href='/b/'></head>" + a,
+        base_url="https://page.example.com/dir/p",
+    ) == ["https://page.example.com/b/x/y", "https://page.example.com/root"]
+    # absolute base works even with no page url at all
+    assert extract_outlinks(
+        b'<head><base href="https://only.example.org/d/"></head>' + a
+    ) == ["https://only.example.org/d/x/y", "https://only.example.org/root"]
+    # control: no base tag → page url is the base
+    assert extract_outlinks(a, base_url="https://page.example.com/dir/p") == [
+        "https://page.example.com/dir/x/y",
+        "https://page.example.com/root",
+    ]

@@ -108,3 +108,22 @@ def test_canonical_dedup_shape(spark):
     assert got["https://ex.org/master"] == ("https://ex.org/p0?ref=0", 3)
     assert got["https://ex.org/self5"][1] == 1
     assert len(got) == 4  # master + 2 canonical-less + self5
+
+
+def test_meta_robots_union_most_restrictive_wins():
+    # multiple robots metas union their tokens (ADVICE r04): a later
+    # noindex must still exclude the page from training corpora.
+    html = (
+        b"<head>"
+        b'<meta name="robots" content="index, follow">'
+        b'<meta name="robots" content="NOINDEX">'
+        b"</head><body>x</body>"
+    )
+    m = extract_meta(html)
+    assert m["robots"] == "index,follow,noindex"
+    assert m["noindex"] is True
+    # duplicate tokens collapse, first-seen order kept
+    m2 = extract_meta(
+        b'<meta name=robots content="nofollow"><meta name=robots content="nofollow, none">'
+    )
+    assert m2["robots"] == "nofollow,none" and m2["noindex"] is True

@@ -411,6 +411,37 @@ def test_corpus_hash_frozen():
     assert acc == 1061150180202206482  # ex4_corpus_hash oracle literal
 
 
+def test_fixture400_hashes_frozen():
+    """Pure-Python golden literals for the 400-page seed-42 fixture: the
+    full-corpus xor hash pinned by ex2_extract_fixture_pages /
+    st3_stream_extract's driver oracles, and the PDF-branch subset pinned by
+    ex3_extract_pdf_branch's (VERDICT r04 task 2 — every battery entry
+    hash-checkable)."""
+    import hashlib
+
+    def xor_reduce(pages):
+        acc, n = 0, 0
+        for p in pages:
+            r = extract_document(p["html"])
+            spans_str = ";".join(f"{b},{s},{e},{c}" for (b, s, e, c) in r["spans"])
+            canon = "\x1f".join(
+                [
+                    p["url"],
+                    r["text"],
+                    spans_str,
+                    f'{r["n_blocks"]},{r["n_content"]},{r["n_boilerplate"]},{r["kind"]}',
+                ]
+            )
+            acc ^= int(hashlib.sha256(canon.encode("utf-8")).hexdigest()[:15], 16)
+            n += 1
+        return acc, n
+
+    pages = make_pages(400, seed=42)
+    assert xor_reduce(pages) == (387176475572252077, 400)
+    pdf = [p for p in pages if p["html"].startswith(b"%PDF-")]
+    assert xor_reduce(pdf) == (903280726741984231, 25)
+
+
 def test_adaptive_resume_rejects_legacy_hot_hosts(spark, pages_path, tmp_path):
     """Resuming an adaptive-salted job over a hot_hosts map written by an
     older layout (single column, different part_id formula) must fail with
@@ -501,3 +532,21 @@ def test_adaptive_resume_with_drifted_skew(spark, pages_path, tmp_path):
     n_rows = spark.read.parquet(f"{out}/manifest").count()
     run_extract_job(spark, pages2, out, n_parts=16, salting="adaptive")
     assert spark.read.parquet(f"{out}/manifest").count() == n_rows
+
+
+def test_extract_job_empty_input_links_schema(spark, tmp_path):
+    """run_extract_job(with_links=True) over an empty corpus must return a
+    frame with the SAME schema as the non-empty path (outlinks/n_links
+    present; ADVICE r04)."""
+    from greenocr_spark.plans.job import run_extract_job
+
+    empty = spark.createDataFrame([], "url string, html binary")
+    out = str(tmp_path / "empty_links")
+    got = run_extract_job(spark, empty, out, n_parts=4, n_salts=2, with_links=True)
+    assert {"outlinks", "n_links"} <= set(got.columns)
+    assert got.count() == 0
+    # control: text-only empty path has no link columns
+    got2 = run_extract_job(
+        spark, empty, str(tmp_path / "empty_plain"), n_parts=4, n_salts=2
+    )
+    assert "outlinks" not in got2.columns
