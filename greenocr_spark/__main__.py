@@ -16,6 +16,19 @@ Commands:
               [--seed S] [--no-resume]
               chunk -> seeded shuffle -> deterministic training shards with
               per-shard manifest; prints summary stats as JSON
+    pipeline  --input PATH --output DIR (or --fixture-pages N)
+              [extract: --n-parts N --n-salts S --salting uniform|adaptive
+               --with-links] [curate: --min-tokens N --max-dup-frac F
+               --langs en,de --no-neardup --no-resample --eval-input PATH]
+              [export: --seq-len N --rows-per-shard N --seed S] [--no-resume]
+              the COMPOSED production path: extract -> curate -> export over
+              one corpus, each stage's resume model preserved; prints the
+              full stats (extracted/curated rows, funnel, export) as JSON
+    kmeans    --input PATH --output DIR [--k K] [--max-iters N]
+              [--write-assignments] [--no-resume]
+              Lloyd k-means to convergence over (vec_id, embedding) — IVF
+              index training; per-iteration centroid commits + manifest,
+              resume-at-iteration; prints summary stats as JSON
 """
 
 from __future__ import annotations
@@ -165,6 +178,102 @@ def main() -> int:
             rows_per_shard=a.rows_per_shard,
             seed=a.seed,
             resume=not a.no_resume,
+        )
+        print(json.dumps(stats))
+        spark.stop()
+        return 0
+    if cmd == "pipeline":
+        import argparse
+        import json
+
+        ap = argparse.ArgumentParser(prog="greenocr_spark pipeline")
+        ap.add_argument("--input", default=None)
+        ap.add_argument("--fixture-pages", type=int, default=0)
+        ap.add_argument("--output", required=True)
+        ap.add_argument("--n-parts", type=int, default=64)
+        ap.add_argument("--n-salts", type=int, default=8)
+        ap.add_argument("--salting", default="uniform",
+                        choices=("uniform", "adaptive"))
+        ap.add_argument("--with-links", action="store_true")
+        ap.add_argument("--min-tokens", type=int, default=5)
+        ap.add_argument("--max-dup-frac", type=float, default=0.6)
+        ap.add_argument("--langs", default=None)
+        ap.add_argument("--no-neardup", action="store_true")
+        ap.add_argument("--no-resample", action="store_true")
+        ap.add_argument("--eval-input", default=None)
+        ap.add_argument("--decon-min-overlap", type=int, default=2)
+        ap.add_argument("--seq-len", type=int, default=256)
+        ap.add_argument("--rows-per-shard", type=int, default=100_000)
+        ap.add_argument("--seed", type=int, default=42)
+        ap.add_argument("--no-resume", action="store_true")
+        a = ap.parse_args(rest)
+        if bool(a.input) == bool(a.fixture_pages):
+            ap.error("exactly one of --input / --fixture-pages required")
+        from greenocr_spark.plans.pipeline import run_pipeline_job
+        from greenocr_spark.session import build_session
+
+        spark = build_session(app_name="pipeline")
+        spark.sparkContext.setLogLevel("WARN")
+        if a.fixture_pages:
+            import tempfile
+
+            from greenocr_spark.fixtures import write_pages_parquet
+
+            src = os.path.join(
+                tempfile.mkdtemp(prefix="pipeline_fixture_"), "pages.parquet"
+            )
+            write_pages_parquet(src, a.fixture_pages)
+        else:
+            src = a.input
+        stats = run_pipeline_job(
+            spark,
+            spark.read.parquet(src),
+            a.output,
+            n_parts=a.n_parts,
+            n_salts=a.n_salts,
+            salting=a.salting,
+            with_links=a.with_links,
+            min_tokens=a.min_tokens,
+            max_dup_bigram_frac=a.max_dup_frac,
+            langs=tuple(a.langs.split(",")) if a.langs else None,
+            neardup=not a.no_neardup,
+            resample=not a.no_resample,
+            eval_docs=(spark.read.parquet(a.eval_input)
+                       if a.eval_input else None),
+            decon_min_overlap=a.decon_min_overlap,
+            seq_len=a.seq_len,
+            rows_per_shard=a.rows_per_shard,
+            seed=a.seed,
+            resume=not a.no_resume,
+        )
+        print(json.dumps(stats))
+        spark.stop()
+        return 0
+    if cmd == "kmeans":
+        import argparse
+        import json
+
+        ap = argparse.ArgumentParser(prog="greenocr_spark kmeans")
+        ap.add_argument("--input", required=True)
+        ap.add_argument("--output", required=True)
+        ap.add_argument("--k", type=int, default=8)
+        ap.add_argument("--max-iters", type=int, default=25)
+        ap.add_argument("--write-assignments", action="store_true")
+        ap.add_argument("--no-resume", action="store_true")
+        a = ap.parse_args(rest)
+        from greenocr_spark.plans.cluster import run_kmeans_job
+        from greenocr_spark.session import build_session
+
+        spark = build_session(app_name="kmeans")
+        spark.sparkContext.setLogLevel("WARN")
+        stats = run_kmeans_job(
+            spark,
+            spark.read.parquet(a.input),
+            a.output,
+            k=a.k,
+            max_iters=a.max_iters,
+            resume=not a.no_resume,
+            write_assignments=a.write_assignments,
         )
         print(json.dumps(stats))
         spark.stop()

@@ -257,10 +257,12 @@ def run_curate_job(
 
     cur = docs
     rows_in = None  # counted lazily only when a stage actually computes
+    any_fresh = False
     for idx, (name, compute) in enumerate(stages):
         sdir = _stage_dir(out_dir, name)
         ids = _read_parquet_or_none(spark, sdir) if resume else None
         if ids is None:
+            any_fresh = True
             if rows_in is None:
                 rows_in = cur.count()
             compute(cur).write.mode("overwrite").parquet(sdir)
@@ -279,6 +281,13 @@ def run_curate_job(
         cur = docs.join(ids.select("doc_id"), "doc_id", "left_semi")
 
     curated_dir = os.path.join(out_dir, "curated")
+    if not any_fresh and os.path.exists(os.path.join(curated_dir, "_SUCCESS")):
+        # every stage resumed from its committed survivor set AND the final
+        # table finished its write (crash between last stage and this write
+        # leaves no _SUCCESS → falls through to the rewrite): true no-op —
+        # do not rescan the corpus to rewrite an identical table. Makes the
+        # composed pipeline's chained resume cheap (plans/pipeline.py).
+        return spark.read.parquet(curated_dir)
     cur.write.mode("overwrite").parquet(curated_dir)
     return spark.read.parquet(curated_dir)
 
