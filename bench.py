@@ -101,6 +101,13 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict:
         "quant1_int8_topk": from_reg("quant1_int8_topk"),
         "shuf1_train_order": from_reg("shuf1_train_order"),
         "cdc1_snapshot_diff": from_reg("cdc1_snapshot_diff"),
+        # round-5: the iterative/graph class (the most regression-prone
+        # plans in the repo) gets round-over-round normalized tracking —
+        # near-dup clustering (LSH pairs -> pointer-jumping CC) and the
+        # two graph kernels (iterative PageRank, oriented triangle count)
+        "dd8_dup_clusters": from_reg("dd8_dup_clusters"),
+        "pr1_host_rank": from_reg("pr1_host_rank"),
+        "gr1_doc_triangles": from_reg("gr1_doc_triangles"),
     }
 
 

@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from greenocr_spark.battery import _dec, q, t
+from greenocr_spark.battery import _dec, q, t, table_rowcount
 
 # ---- shared hash/shingle expression builders (Spark SQL + DuckDB SQL) -----
 
@@ -840,7 +840,11 @@ def dd7_lsh_neardup(spark, sf_dir, _n_override: int | None = None):
     # brute-force correctness baseline; this runs at 10^12 rows.
     # _n_override is a test-only hook pinning the large-N bit derivation.
     e = t(spark, sf_dir, "embeddings")
-    n_rows = _n_override if _n_override is not None else e.count()
+    n_rows = (
+        _n_override
+        if _n_override is not None
+        else table_rowcount(spark, sf_dir, "embeddings")
+    )
     bits = dd7_lsh_bits(n_rows)
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -2175,7 +2179,11 @@ def chk2_pack_offsets(spark, sf_dir, _n_override: int | None = None):
     # offsets join is broadcast-hinted only while the block table is
     # dim-sized. _n_override is a test-only hook pinning the large-N plan.
     docs = t(spark, sf_dir, "documents")
-    n_rows = _n_override if _n_override is not None else docs.count()
+    n_rows = (
+        _n_override
+        if _n_override is not None
+        else table_rowcount(spark, sf_dir, "documents")
+    )
     bs = prefix_sum_block_size(n_rows)
     d = docs.select(
         "doc_id",
@@ -3112,7 +3120,11 @@ def shuf1_train_order(spark, sf_dir, _n_override: int | None = None):
     # join is broadcast-hinted only while the block table is dim-sized.
     # _n_override is a test-only hook pinning the large-N plan.
     docs = t(spark, sf_dir, "documents")
-    n_rows = _n_override if _n_override is not None else docs.count()
+    n_rows = (
+        _n_override
+        if _n_override is not None
+        else table_rowcount(spark, sf_dir, "documents")
+    )
     k = prefix_sum_hex_len(n_rows)
     c = docs.select(
         "doc_id",
@@ -3581,7 +3593,8 @@ def gr1_doc_triangles(spark, sf_dir):
     # deliberately unhinted — vertex count at web scale outgrows
     # broadcast, and AQE still broadcasts it while small.
     d0 = t(spark, sf_dir, "documents")
-    n = d0.count()  # same scalar the oracle's subquery computes
+    # same scalar the oracle's subquery computes — footer stats, no scan job
+    n = table_rowcount(spark, sf_dir, "documents")
     u = F.col("doc_id")
     raw = (
         d0.select(u.alias("u"), ((u + 1) % n).alias("v"))
