@@ -36,6 +36,25 @@ def _duck_words(col="text"):
     return f"regexp_split_to_array(trim({col}), '\\s+')"
 
 
+def _bigram_array(ws):
+    """Word-bigram array ("w1 w2") from a words-array expression, with each
+    side of the zip evaluated ONCE per row.
+
+    Never build bigrams as transform(slice(ws,...), lambda x, i:
+    concat_ws(' ', x, element_at(ws, i+2))): higher-order-function lambdas
+    are interpreted (no whole-stage codegen, no common-subexpression
+    elimination), so an `ws` expression embedded in the lambda body — e.g.
+    the split() behind it — re-evaluates per ELEMENT, turning the bigram
+    build into O(tokens²) string work per document.  On multi-thousand-token
+    documents that is a throughput cliff (measured ~50x on the pipeline
+    quality gate).  zip_with evaluates each input array expression once and
+    only iterates element-wise."""
+    n = F.greatest(F.size(ws) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(ws, 1, n), F.slice(ws, 2, n), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
 def _spark_gram3_hashes(ws_col="ws"):
     """md5 hashes of word 3-gram windows over an ALREADY-MATERIALIZED word
     array column (select _spark_words() into a column first — referencing
@@ -1197,17 +1216,34 @@ def lang_id_col(text_col="text"):
         F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
         F.lit(" "),
     )
-    scores = {
-        lang: sum(
-            F.when(F.contains(padded, F.lit(g)), 1).otherwise(0) for g in grams
+    # Single-instance argmax: each trigram `contains` appears exactly ONCE in
+    # the expression tree.  The naive greatest(...) + when-cascade form
+    # duplicates the 40 score terms ~7x; fused into a larger whole-stage-
+    # codegen region (e.g. the pipeline handoff projection + quality filter)
+    # that blows janino's 64 KB method cap and silently drops the stage to
+    # interpreted mode — a real throughput cliff at corpus scale.
+    # array_max over struct(score, priority) compares field-by-field, so ties
+    # resolve to the highest priority = FIRST lang in _LANG_ORDER (identical
+    # to the old first-wins when-cascade); an (s=0, highest-priority) sentinel
+    # yields 'und' exactly when every score is 0.
+    n = len(_LANG_ORDER)
+    entries = [
+        F.struct(
+            sum(
+                F.when(F.contains(padded, F.lit(g)), 1).otherwise(0)
+                for g in _LANG_TRIGRAMS[lo]
+            ).alias("s"),
+            F.lit(n - 1 - i).alias("p"),
         )
-        for lang, grams in _LANG_TRIGRAMS.items()
-    }
-    best = F.greatest(*[scores[lo] for lo in _LANG_ORDER])
-    pred = F.when(best == 0, F.lit("und"))
-    for lo in _LANG_ORDER:
-        pred = pred.when(scores[lo] == best, F.lit(lo))
-    return pred
+        for i, lo in enumerate(_LANG_ORDER)
+    ]
+    sentinel = F.struct(F.lit(0).alias("s"), F.lit(n).alias("p"))
+    # lang_by_priority[p] = lang with priority p (p = n-1-i), plus 'und' at p=n
+    lang_by_priority = F.array(
+        *[F.lit(_LANG_ORDER[n - 1 - p]) for p in range(n)], F.lit("und")
+    )
+    best = F.array_max(F.array(*entries, sentinel))
+    return F.element_at(lang_by_priority, best["p"] + 1)
 
 
 @q("tx3_lang_id", _tx3_oracle())
@@ -1307,10 +1343,7 @@ def tx7_repetition_ratio(spark, sf_dir):
     # Entirely array-lambda JVM-side, no explode and no shuffle — one narrow
     # pass at any corpus size.
     ws = _spark_words()
-    big = F.transform(
-        F.slice(ws, 1, F.size(ws) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(ws, i + 2)),
-    )
+    big = _bigram_array(ws)
     big_col = big.alias("big")
     return (
         t(spark, sf_dir, "documents")
@@ -1404,10 +1437,7 @@ def tx8_bigram_lm_score(spark, sf_dir):
     # one groupBy(doc). The count tables are vocabulary-sized — at 10^12
     # docs, still joinable (and cappable to top-K with unigram backoff).
     ws = _spark_words()
-    big = F.transform(
-        F.slice(ws, 1, F.size(ws) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(ws, i + 2)),
-    )
+    big = _bigram_array(ws)
     b = (
         t(spark, sf_dir, "documents")
         .filter(F.size(ws) >= 2)

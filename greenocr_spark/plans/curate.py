@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 from greenocr_spark.battery_ml import (
+    _bigram_array,
     _mixture_weight_table,
     _neardup_losers,
     _spark_gram3_hashes,
@@ -70,10 +71,9 @@ def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
 
 def _quality_gate(cur: DataFrame, min_tokens: int, max_frac: float) -> DataFrame:
     ws = _spark_words()
-    big = F.transform(
-        F.slice(ws, 1, F.size(ws) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(ws, i + 2)),
-    )
+    # _bigram_array evaluates the split once per row; see its docstring for
+    # why the transform+element_at form is O(tokens²) per document.
+    big = _bigram_array(ws)
     frac = F.when(
         F.size(big) > 0,
         1 - F.size(F.array_distinct(big)) / F.size(big).cast("double"),
