@@ -425,9 +425,15 @@ def dd8_dup_clusters(spark, sf_dir):
     bands AS (
         SELECT doc_id, i AS band, {_band_case_sql()} AS bkey
         FROM sig, unnest([{", ".join(str(b) for b in range(_N_BANDS))}]) AS u(i)),
-    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-                                       AND a.doc_id < b.doc_id),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                      AND a.doc_id < b.doc_id),
+    pairs AS (SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN documents da ON da.doc_id = c.doc_a
+              JOIN documents db ON db.doc_id = c.doc_b
+              WHERE levenshtein(substring(da.text, 1, 200),
+                                substring(db.text, 1, 200)) <= 40),
     edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach AS (SELECT s, d FROM edges
@@ -441,6 +447,8 @@ def dd8_dup_clusters(spark, sf_dir):
 def pipe2_neardup_removal(spark, sf_dir):
     # The COMPOSED near-dup removal pipeline a curation run actually
     # executes: MinHash signatures → LSH banded candidate pairs (dd3) →
+    # bounded-prefix edit-distance verification (dd9 — see _verified_pairs
+    # for why clustering unverified candidates is wrong at scale) →
     # distributed connected components (dd8's kernel) → keep each
     # cluster's min doc_id plus every unclustered doc. The survivor set is
     # the corpus fed to training. The broadcast hint on the loser side is
@@ -455,11 +463,58 @@ def pipe2_neardup_removal(spark, sf_dir):
     )
 
 
+# Candidate verification bound (the dd9 shape): LSH candidates are checked
+# with edit distance over a bounded text prefix before any doc is dropped.
+# 200 chars / distance <= 40 separates cleanly: true near-dups differ by a
+# few edits in the prefix (or not at all), random false-positive collisions
+# differ by ~the whole prefix.
+_NEARDUP_VERIFY_PREFIX = 200
+_NEARDUP_MAX_EDITDIST = 40
+
+
+def _verified_pairs(pairs, docs):
+    """Drop LSH candidate pairs that fail the bounded-prefix edit-distance
+    check (levenshtein over the first _NEARDUP_VERIFY_PREFIX chars >
+    _NEARDUP_MAX_EDITDIST).
+
+    Clustering UNVERIFIED candidates is wrong at scale: band-collision false
+    positives arrive at a roughly corpus-quadratic rate, so past ~10^5 docs
+    the candidate graph percolates into giant random components — measured
+    on the 2M-page pipeline soak: 145k candidate pairs over 109k docs formed
+    a 13,933-doc component, i.e. ~14k NON-duplicate docs would be dropped as
+    "losers", and connected components needed 25 rounds to cross it.
+    Verification breaks the random edges (a false pair's prefixes disagree
+    almost everywhere), leaving tight true-dup clusters that converge in a
+    few rounds. The joins ship only (doc_id, 200-char prefix); Spark's
+    thresholded levenshtein early-exits above the bound."""
+    pre = docs.select(
+        "doc_id", F.substring("text", 1, _NEARDUP_VERIFY_PREFIX).alias("pre")
+    )
+    return (
+        pairs.join(
+            pre.select(F.col("doc_id").alias("doc_a"), F.col("pre").alias("pre_a")),
+            "doc_a",
+        )
+        .join(
+            pre.select(F.col("doc_id").alias("doc_b"), F.col("pre").alias("pre_b")),
+            "doc_b",
+        )
+        .filter(
+            F.levenshtein("pre_a", "pre_b", _NEARDUP_MAX_EDITDIST) != F.lit(-1)
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
 def _neardup_losers(docs):
     """doc_ids to DROP under near-dup removal (every clustered doc except
     its cluster's min member) for any (doc_id, text) DataFrame — shared by
-    pipe2 and the curation job (plans/curate.py)."""
-    clusters = _connected_components(_band_pairs(_minhash_signature(docs)))
+    pipe2 and the curation job (plans/curate.py). Composes all three dedup
+    primitives: signatures (dd2) → banded candidates (dd3) → edit-distance
+    verification (dd9) → connected components (dd8)."""
+    sig = _minhash_signature(docs)
+    pairs = _verified_pairs(_band_pairs(sig), docs)
+    clusters = _connected_components(pairs)
     return clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
 
 
