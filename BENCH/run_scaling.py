@@ -254,9 +254,25 @@ scaling killer at 1000 executors — is bounded by construction
 Reproduce: `python BENCH/run_scaling.py --pages {args.pages}`
 """
     out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Rewrite ONLY the scaling preamble. Soak harnesses append their own
+    # "## ..." sections after it; clobbering them on a scaling re-run lost
+    # data once (the old "scaling first, soak second" etiquette existed to
+    # work around exactly that), so preserve everything from the first
+    # second-level heading onward.
+    tail = ""
+    if os.path.exists(out_md):
+        with open(out_md) as f:
+            old = f.read()
+        for i, line in enumerate(old.splitlines(keepends=True)):
+            if line.startswith("## "):
+                tail = "".join(old.splitlines(keepends=True)[i:])
+                break
     with open(out_md, "w") as f:
         f.write(md)
-    print(f"wrote {out_md}", file=sys.stderr)
+        if tail:
+            f.write("\n" + tail)
+    print(f"wrote {out_md} (preserved {len(tail)} bytes of appended sections)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -60,11 +60,20 @@ _CHANGED_THIS_ROUND = [
     "ex8_meta_hash",
     "st10_stream_link_hash",
     "lnk1_host_graph",
+    # stats-derived sizing scalars changed these plans' pre-pass
     "shuf1_train_order",
     "chk2_pack_offsets",
     "gr1_doc_triangles",
     "km1_kmeans_estep",
-    "pr1_pagerank",
+    "pr1_host_rank",
+    # text-quality expression-evaluation fix touched the lang-ID and
+    # repetition/LM kernels
+    "tx3_lang_id",
+    "tx7_repetition_ratio",
+    "tx8_bigram_lm_score",
+    # near-dup candidate verification (round-5 fix) changed pipe2's chain
+    # and its oracle
+    "pipe2_neardup_removal",
 ]
 
 
