@@ -4167,3 +4167,155 @@ def samp3_stratum_topk(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# =========================================================================
+# Web-text cleaning face (round 5): C4-style line filtering + Unicode NFC
+# =========================================================================
+
+_C4F1_ORACLE = r"""WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+), pg AS (
+    SELECT doc_id, concat_ws(chr(10),
+        array_to_string(list_slice(ws, 1, 6), ' ') || '.',
+        array_to_string(list_slice(ws, 7, 9), ' ') || '.',
+        array_to_string(list_slice(ws, 4, 11), ' '),
+        array_to_string(list_slice(ws, 2, 7), ' ') || ' { x }.',
+        CASE WHEN doc_id % 2 = 0
+             THEN 'lorem ipsum dolor sit amet consectetur.'
+             ELSE array_to_string(list_slice(ws, 1, 5), ' ') || ' again ok?' END,
+        CASE WHEN doc_id % 3 = 0
+             THEN 'please enable javascript to view this page.'
+             ELSE array_to_string(list_slice(ws, 3, 8), ' ') || ' indeed!' END
+    ) AS page FROM w
+), ln AS (
+    SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg
+), k AS (
+    SELECT doc_id, lines,
+           list_filter(lines, x ->
+               length(trim(x)) > 0
+               AND right(trim(x), 1) IN ('.', '!', '?', '"')
+               AND len(string_split_regex(trim(x), '\s+')) >= 5
+               AND NOT contains(trim(x), '{')
+               AND NOT contains(lower(trim(x)), 'lorem ipsum')
+               AND NOT list_contains(
+                       string_split_regex(lower(trim(x)), '\s+'), 'javascript')
+           ) AS kept
+    FROM ln
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       len(kept) >= 3 AS keep_doc,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM k"""
+
+
+def c4_keep_line(line):
+    """C4's line-level keep rule (Raffel et al. 2020 §2.2, the 'C4' corpus
+    rules), as one JVM boolean expression over a line Column: kept iff the
+    trimmed line ends in terminal punctuation, has >= 5 whitespace words,
+    and contains no '{', no 'lorem ipsum', and no 'javascript' word. Shared
+    by c4f1 and any caller composing it over extracted text."""
+    s = F.trim(line)
+    return (
+        (F.length(s) > 0)
+        & F.substring(s, -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.split(s, r"\s+")) >= 5)
+        & ~s.contains("{")
+        & ~F.lower(s).contains("lorem ipsum")
+        & ~F.array_contains(F.split(F.lower(s), r"\s+"), "javascript")
+    )
+
+
+@q("c4f1_line_filter", _C4F1_ORACLE)
+def c4f1_line_filter(spark, sf_dir):
+    # C4-style line filtering (the classic web-text cleaning stage: keep
+    # only lines that end in terminal punctuation, have >= 5 words, and
+    # carry no code-brace / lorem-ipsum / javascript boilerplate markers;
+    # keep the DOC iff >= 3 lines survive). The documents table is
+    # single-line word soup, so the multi-line page under test is PLANTED
+    # deterministically from each doc's word array — the identical
+    # construction runs in the DuckDB oracle, so the kept/dropped decisions
+    # and the reassembled clean text are fully value-checked cross-engine.
+    # Scale shape: entirely JVM array lambdas inside one narrow projection —
+    # zero shuffles, zero Python, embarrassingly parallel at 10^12 rows
+    # (plan-pinned in tests/test_plans.py).
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+
+    def chunk(start, n):
+        return F.array_join(F.slice(ws, start, n), " ")
+
+    page = F.concat_ws(
+        "\n",
+        F.concat(chunk(1, 6), F.lit(".")),
+        F.concat(chunk(7, 3), F.lit(".")),
+        chunk(4, 8),
+        F.concat(chunk(2, 6), F.lit(" { x }.")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("lorem ipsum dolor sit amet consectetur."),
+        ).otherwise(F.concat(chunk(1, 5), F.lit(" again ok?"))),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("please enable javascript to view this page."),
+        ).otherwise(F.concat(chunk(3, 6), F.lit(" indeed!"))),
+    )
+    lines = F.split(page, "\n")
+    kept = F.filter(lines, c4_keep_line)
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) >= 3).alias("keep_doc"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+# the planted decomposed tail: 'e'+COMBINING ACUTE, 'a'+COMBINING DIAERESIS,
+# 'o'+COMBINING CIRCUMFLEX — NFC recomposes all three to one codepoint each
+_NFC_TAIL = " nfc:e\u0301a\u0308o\u0302"
+
+
+@q(
+    "nfc1_unicode_nfc",
+    r"""WITH p AS (
+        SELECT doc_id,
+               text || ' nfc:e' || chr(769) || 'a' || chr(776)
+                    || 'o' || chr(770) AS raw
+        FROM documents)
+    SELECT doc_id,
+           nfc_normalize(raw) AS nfc_text,
+           nfc_normalize(raw) <> raw AS changed,
+           CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
+               AS cp_removed
+    FROM p""",
+)
+def nfc1_unicode_nfc(spark, sf_dir):
+    # Unicode NFC canonicalization — the text-normalization stage every
+    # web-extraction pipeline runs before hashing/dedup (decomposed
+    # combining sequences from different crawls would otherwise defeat
+    # exact dedup of identical text). Spark has no NFC builtin, so this is
+    # the documented Arrow-batched pandas-UDF path (never a row UDF); the
+    # oracle is DuckDB's INDEPENDENT nfc_normalize implementation over the
+    # same planted decomposed tail, so the two Unicode implementations
+    # cross-check each other value-for-value. Narrow, zero-shuffle,
+    # embarrassingly parallel at 10^12 rows.
+    import unicodedata
+
+    nfc = F.pandas_udf(
+        lambda s: s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        ),
+        "string",
+    )
+
+    raw = F.concat(F.col("text"), F.lit(_NFC_TAIL))
+    d = t(spark, sf_dir, "documents").select("doc_id", raw.alias("raw"))
+    return d.select(
+        "doc_id",
+        nfc("raw").alias("nfc_text"),
+        (nfc("raw") != F.col("raw")).alias("changed"),
+        (F.length("raw") - F.length(nfc("raw"))).cast("long").alias("cp_removed"),
+    )

@@ -625,3 +625,56 @@ def test_z1_zorder_locality_beats_linear_sort(spark):
     z_spread = avg_b_spread(li.withColumn("z", zval), "z")
     linear_spread = avg_b_spread(li.withColumn("z", F2.col("a")), "z")
     assert z_spread < linear_spread * 0.5, (z_spread, linear_spread)
+
+
+def test_c4_keep_line_known_decisions(spark):
+    """The C4 line rule on hand-built lines: every drop reason exercised
+    (short, no terminal punct, brace, lorem ipsum, javascript word) plus a
+    canonical keeper and the quote-terminated keeper."""
+    from greenocr_spark.battery_ml import c4_keep_line
+
+    cases = [
+        ("this sentence has five words.", True),
+        ('he said "use way more data."', True),  # closing quote terminates
+        ("too short.", False),                   # < 5 words
+        ("this line has no terminal punctuation at all", False),
+        ("config = { a: 1 } is code.", False),   # brace
+        ("lorem ipsum dolor sit amet consectetur.", False),
+        ("please enable javascript to view this page.", False),
+        ("  padded line still counts five words.  ", True),  # trim first
+        ("", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, line string"
+    )
+    got = {
+        r["i"]: r["keep"]
+        for r in df.select(
+            "i", c4_keep_line(F.col("line")).alias("keep")
+        ).collect()
+    }
+    want = {i: keep for i, (_, keep) in enumerate(cases)}
+    assert got == want
+
+
+def test_nfc1_recomposes_and_is_idempotent(spark, tmp_path):
+    """nfc1: the planted decomposed tail recomposes to the precomposed
+    forms (3 codepoints removed), and the output is an NFC fixed point."""
+    import unicodedata
+
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    rows = [(0, "plain ascii text"), (1, "already café composed")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in b.REGISTRY["nfc1_unicode_nfc"][0](spark, str(tmp_path)).collect()
+    }
+    for r in out.values():
+        assert r["nfc_text"].endswith(" nfc:éäô")
+        assert r["changed"] is True
+        assert r["cp_removed"] == 3
+        assert unicodedata.normalize("NFC", r["nfc_text"]) == r["nfc_text"]

@@ -567,3 +567,19 @@ def test_sizing_scalars_come_from_footer_stats_not_count_jobs(spark, monkeypatch
     ):
         df = _q(spark, qname)
         assert df.schema is not None  # plan built without a count job
+
+
+def test_c4f1_pure_jvm_narrow(spark):
+    # the C4 line filter is one narrow JVM projection: no shuffle, no Python
+    p = plan_of(_q(spark, "c4f1_line_filter"))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p  # neither Batch nor Arrow: all array lambdas
+
+
+def test_nfc1_arrow_batched_narrow(spark):
+    # NFC has no JVM builtin: the documented pandas-UDF path must be the
+    # Arrow-batched kind (never row-at-a-time), and still shuffle-free
+    p = plan_of(_q(spark, "nfc1_unicode_nfc"))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
