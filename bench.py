@@ -108,6 +108,11 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict:
         "dd8_dup_clusters": from_reg("dd8_dup_clusters"),
         "pr1_host_rank": from_reg("pr1_host_rank"),
         "gr1_doc_triangles": from_reg("gr1_doc_triangles"),
+        # round-5: the cleaning face — C4 line rules (pure JVM array
+        # lambdas) and Arrow-batched NFC canon (the pandas-UDF path gets a
+        # tracked number so a batch-size / Arrow regression would show)
+        "c4f1_line_filter": from_reg("c4f1_line_filter"),
+        "nfc1_unicode_nfc": from_reg("nfc1_unicode_nfc"),
     }
 
 
