@@ -4319,3 +4319,86 @@ def nfc1_unicode_nfc(spark, sf_dir):
         (nfc("raw") != F.col("raw")).alias("changed"),
         (F.length("raw") - F.length(nfc("raw"))).cast("long").alias("cp_removed"),
     )
+
+
+_PIPE3_ORACLE = f"""WITH w AS (
+    SELECT doc_id, {_duck_words()} AS ws FROM documents
+), b AS (
+    SELECT doc_id, ws,
+           list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+               AS big
+    FROM w
+), m AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           round(list_sum(list_transform(ws, x -> length(x)))
+                 / CAST(len(ws) AS DOUBLE), 4) AS mean_wlen,
+           CASE WHEN len(ws) >= 2
+                THEN round(1 - len(list_distinct(big))
+                           / CAST(len(big) AS DOUBLE), 4)
+                ELSE 0.0 END AS rep_frac,
+           round(len(list_filter(ws, x -> x IN {str(tuple(_STOPWORDS))}))
+                 / len(ws), 4) AS stop_ratio
+    FROM b
+)
+SELECT doc_id, n_words, mean_wlen, rep_frac, stop_ratio,
+       n_words BETWEEN 30 AND 90 AS pass_words,
+       mean_wlen BETWEEN 3.8 AND 5.0 AS pass_wlen,
+       rep_frac <= 0.05 AS pass_rep,
+       stop_ratio >= 0.05 AS pass_stop,
+       (n_words BETWEEN 30 AND 90) AND (mean_wlen BETWEEN 3.8 AND 5.0)
+           AND rep_frac <= 0.05 AND stop_ratio >= 0.05 AS kept
+FROM m"""
+
+
+@q("pipe3_gopher_funnel", _PIPE3_ORACLE)
+def pipe3_gopher_funnel(spark, sf_dir):
+    # Gopher-rules quality filter funnel (Rae et al. 2021 Table A1 shape,
+    # thresholds adapted to this corpus' 10-99-word docs): word-count
+    # bounds, mean-word-length bounds, duplicate-bigram repetition cap, and
+    # a stop-word floor — each rule reported as its own pass column (the
+    # per-rule attrition attribution a curation funnel publishes) and the
+    # doc kept iff ALL pass. Composes the tx2/tx7 kernels verbatim; every
+    # metric is rounded to 4 places with the identical IEEE op order on
+    # both engines before comparing, so the booleans are exactly
+    # value-checked. One narrow JVM projection — zero shuffles, zero
+    # Python, embarrassingly parallel at 10^12 rows.
+    ws = _spark_words()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda x: F.array_contains(stop_arr, x)))
+    sum_len = F.aggregate(
+        F.transform(ws, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    big = _bigram_array(ws)
+    m = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.round(sum_len / F.size(ws).cast("double"), 4).alias("mean_wlen"),
+        F.when(
+            F.size(ws) >= 2,
+            F.round(
+                1 - F.size(F.array_distinct(big)) / F.size(big).cast("double"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_frac"),
+        F.round(n_stop / F.size(ws), 4).alias("stop_ratio"),
+    )
+    pass_words = F.col("n_words").between(30, 90)
+    pass_wlen = F.col("mean_wlen").between(3.8, 5.0)
+    pass_rep = F.col("rep_frac") <= 0.05
+    pass_stop = F.col("stop_ratio") >= 0.05
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen",
+        "rep_frac",
+        "stop_ratio",
+        pass_words.alias("pass_words"),
+        pass_wlen.alias("pass_wlen"),
+        pass_rep.alias("pass_rep"),
+        pass_stop.alias("pass_stop"),
+        (pass_words & pass_wlen & pass_rep & pass_stop).alias("kept"),
+    )

@@ -678,3 +678,31 @@ def test_nfc1_recomposes_and_is_idempotent(spark, tmp_path):
         assert r["changed"] is True
         assert r["cp_removed"] == 3
         assert unicodedata.normalize("NFC", r["nfc_text"]) == r["nfc_text"]
+
+
+def test_pipe3_funnel_attributes_each_rule(spark, tmp_path):
+    """Gopher funnel on hand-built docs: one doc trips each rule alone, one
+    passes everything — per-rule pass columns attribute exactly."""
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml as ml  # noqa: F401
+
+    # 4 stopwords + 32 distinct 5-letter words: n=36, mean_wlen≈4.67,
+    # all bigrams distinct, stop_ratio≈0.11 — passes every rule
+    good_words = "the a of to " + " ".join(f"w{i:04d}" for i in range(32))
+    rows = [
+        (0, good_words),                              # passes all
+        (1, "the a of to tiny"),                      # too few words
+        (2, "the a " + "spark data " * 20),           # repetition cap
+        (3, ("alpha beta gamma delta word " * 7).strip()),  # no stopwords
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in b.REGISTRY["pipe3_gopher_funnel"][0](spark, str(tmp_path)).collect()
+    }
+    assert out[0]["kept"] is True
+    assert out[1]["pass_words"] is False and out[1]["kept"] is False
+    assert out[2]["pass_rep"] is False and out[2]["kept"] is False
+    assert out[3]["pass_stop"] is False and out[3]["kept"] is False

@@ -583,3 +583,10 @@ def test_nfc1_arrow_batched_narrow(spark):
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
     assert "Exchange" not in p
+
+
+def test_pipe3_funnel_narrow_no_python(spark):
+    # the quality funnel composes tx2/tx7 kernels in one narrow projection
+    p = plan_of(_q(spark, "pipe3_gopher_funnel"))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
