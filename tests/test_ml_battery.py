@@ -706,3 +706,38 @@ def test_pipe3_funnel_attributes_each_rule(spark, tmp_path):
     assert out[1]["pass_words"] is False and out[1]["kept"] is False
     assert out[2]["pass_rep"] is False and out[2]["kept"] is False
     assert out[3]["pass_stop"] is False and out[3]["kept"] is False
+
+
+def test_clean_lines_operator_composes_on_multiline_text(spark):
+    """operators/clean.clean_lines on realistic multi-line extracted text:
+    keeps exactly the rule-passing lines, reports counts, keeps rows (no
+    filtering), and its plan stays narrow (no Exchange, no Python)."""
+    import io
+    import contextlib
+
+    from greenocr_spark.operators.clean import clean_lines
+
+    doc = "\n".join(
+        [
+            "this is a perfectly normal sentence.",     # kept
+            "short line.",                               # dropped: <5 words
+            "another good sentence with enough words!",  # kept
+            "a third full sentence closes the page?",    # kept
+            "if (x) { return y; }",                      # dropped: brace
+        ]
+    )
+    df = spark.createDataFrame([(0, doc), (1, "no punctuation here")], "id long, text string")
+    out = clean_lines(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[0]["n_lines"] == 5 and rows[0]["n_kept"] == 3
+    assert rows[0]["keep_doc"] is True
+    assert rows[0]["clean_text"].count("\n") == 2
+    assert rows[1]["n_kept"] == 0 and rows[1]["keep_doc"] is False
+    assert rows[1]["clean_text"] == ""
+    assert out.count() == 2  # attribution, not filtering
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p and "EvalPython" not in p
