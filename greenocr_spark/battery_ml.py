@@ -4173,6 +4173,21 @@ def samp3_stratum_topk(spark, sf_dir):
 # Web-text cleaning face (round 5): C4-style line filtering + Unicode NFC
 # =========================================================================
 
+def c4_keep_line_sql(var: str) -> str:
+    """The DuckDB twin of c4_keep_line over a line expression `var` — ONE
+    source for both the c4f1 oracle and the cross-engine fuzz test, so the
+    two predicates can never drift apart."""
+    return (
+        f"length(trim({var})) > 0 "
+        f"AND right(trim({var}), 1) IN ('.', '!', '?', '\"') "
+        f"AND len(string_split_regex(trim({var}), '\\s+')) >= 5 "
+        f"AND NOT contains(trim({var}), '{{') "
+        f"AND NOT contains(lower(trim({var})), 'lorem ipsum') "
+        f"AND NOT list_contains("
+        f"string_split_regex(lower(trim({var})), '\\s+'), 'javascript')"
+    )
+
+
 _C4F1_ORACLE = r"""WITH w AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
 ), pg AS (
@@ -4192,15 +4207,7 @@ _C4F1_ORACLE = r"""WITH w AS (
     SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg
 ), k AS (
     SELECT doc_id, lines,
-           list_filter(lines, x ->
-               length(trim(x)) > 0
-               AND right(trim(x), 1) IN ('.', '!', '?', '"')
-               AND len(string_split_regex(trim(x), '\s+')) >= 5
-               AND NOT contains(trim(x), '{')
-               AND NOT contains(lower(trim(x)), 'lorem ipsum')
-               AND NOT list_contains(
-                       string_split_regex(lower(trim(x)), '\s+'), 'javascript')
-           ) AS kept
+           list_filter(lines, x -> """ + c4_keep_line_sql("x") + r""") AS kept
     FROM ln
 )
 SELECT doc_id,

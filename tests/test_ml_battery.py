@@ -741,3 +741,76 @@ def test_clean_lines_operator_composes_on_multiline_text(spark):
         out.explain("formatted")
     p = buf.getvalue()
     assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_c4_keep_line_cross_engine_fuzz(spark):
+    """Spark c4_keep_line vs the DuckDB twin (battery_ml.c4_keep_line_sql —
+    the SAME builder the c4f1 oracle uses) on 400 seeded adversarial lines:
+    random token soups mixing terminal/non-terminal enders, braces,
+    javascript/lorem markers in varying case, tabs, multi-space runs,
+    accented words, and edge shapes (empty, single char, all-whitespace).
+    The sf corpora only exercise the planted-page construction; this pins
+    the predicate itself on arbitrary text."""
+    import random
+
+    import duckdb
+
+    from greenocr_spark.battery_ml import c4_keep_line, c4_keep_line_sql
+
+    rng = random.Random(1234)
+    words = [
+        "word", "data", "the", "Javascript", "JAVASCRIPT", "javascript",
+        "javascript.", "{x}", "café", "naïve", "Lorem", "ipsum", "LOREM",
+        "a", "..", '"', "?", "so", "tab\tsep", "brace{", "x" * 30,
+    ]
+    enders = [".", "!", "?", '"', "", " ", ",", ":", ".."]
+    lines = ["", " ", "   ", ".", "\t", "lorem ipsum", "Lorem Ipsum dolor sit amet."]
+    for _ in range(400):
+        n = rng.randint(0, 9)
+        sep = rng.choice([" ", "  ", " \t "])
+        body = sep.join(rng.choice(words) for _ in range(n))
+        pad_l = " " * rng.randint(0, 2)
+        pad_r = " " * rng.randint(0, 2)
+        lines.append(pad_l + body + rng.choice(enders) + pad_r)
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lines)], "i long, line string"
+    )
+    got = {
+        r["i"]: r["keep"]
+        for r in df.select("i", c4_keep_line(F.col("line")).alias("keep")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, line VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(lines)))
+    want = {
+        i: bool(k)
+        for i, k in con.execute(
+            f"SELECT i, {c4_keep_line_sql('line')} FROM t"
+        ).fetchall()
+    }
+    diffs = {i: (got[i], want[i], lines[i]) for i in want if got[i] != want[i]}
+    assert not diffs, dict(list(diffs.items())[:5])
+
+
+def test_nfc_cross_engine_fuzz():
+    """DuckDB's nfc_normalize (the nfc1 oracle) vs Python's unicodedata
+    (the nfc1 UDF) on 4000 seeded random strings spanning ASCII, Latin-1
+    supplement, combining-heavy Latin Extended Additional, Greek extended,
+    and kana — the two INDEPENDENT Unicode implementations must agree on
+    every string for nfc1's oracle check to be meaningful on non-planted
+    text too."""
+    import random
+    import unicodedata
+
+    import duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(7)
+    ranges = [(0x20, 0x7E), (0xA0, 0x2FFF), (0x1E00, 0x1FFF), (0x3040, 0x30FF)]
+    for _ in range(4000):
+        n = rng.randint(0, 12)
+        s = "".join(chr(rng.randint(*rng.choice(ranges))) for _ in range(n))
+        d = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        p = unicodedata.normalize("NFC", s)
+        assert d == p, [hex(ord(c)) for c in s]
