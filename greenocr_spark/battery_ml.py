@@ -4409,3 +4409,194 @@ def pipe3_gopher_funnel(spark, sf_dir):
         pass_stop.alias("pass_stop"),
         (pass_words & pass_wlen & pass_rep & pass_stop).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text face (round 5): the web-graph edges CARRY text — the anchor
+# words pointing at a url are the classic relevance signal (anchor-term
+# indexing) and a crawl-frontier prioritization input. Two faces:
+#   anch1 — distributed harvest string-identity (frozen xor literal, the
+#           ex4/ex7 pattern; seq disambiguates repeated (src,dst,anchor)
+#           triples so xor can't self-cancel);
+#   anch2 — per-target-host anchor-term aggregation (frozen VALUES oracle,
+#           the lnk1 pattern; provenance recomputed pure-Python in
+#           tests/test_links.py).
+# ---------------------------------------------------------------------------
+
+# frozen with tests/test_links.py::test_anchor_golden_frozen
+_ANCH1_XOR = 7359346626384892
+_ANCH1_N = 11636
+
+
+@q(
+    "anch1_anchor_hash",
+    f"""SELECT CAST({_ANCH1_XOR} AS BIGINT) AS corpus_hash,
+              CAST({_ANCH1_N} AS BIGINT) AS n_anchors""",
+)
+def anch1_anchor_hash(spark, sf_dir):
+    # Anchor-text harvest over the 1500-page seed-42 fixture corpus through
+    # the Arrow-batched stage (operators/links.extract_anchors_df — href
+    # resolution shared verbatim with the outlink spec via _resolve_href),
+    # reduced with the order-insensitive sha256-prefix xor over
+    # (src, seq, dst, anchor) rows. The literal is computed by the pure-
+    # Python path and pinned with it in tests/test_links.py, so a green row
+    # proves the distributed anchor harvest is string-identical to the
+    # spec. Narrow stage: no shuffle upstream of the 1-row agg.
+    from greenocr_spark.operators.links import extract_anchors_df
+
+    pages = spark.read.parquet(_fixture_pages_path(1500))
+    an = extract_anchors_df(pages)
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("src"),
+        F.col("seq").cast("string"),
+        F.col("dst"),
+        F.col("anchor"),
+    )
+    row_h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
+    return an.select(row_h.alias("h")).agg(
+        F.bit_xor("h").alias("corpus_hash"), F.count("*").alias("n_anchors")
+    )
+
+
+# frozen with tests/test_links.py::test_anchor_host_terms_provenance —
+# (dst_host, n_anchors, n_terms, top_term, top_count) over the 400-page
+# seed-42 fixture corpus; top term per host by (count DESC, term ASC).
+_ANCH2_GOLDEN_ROWS = [
+    ("big.example.com", 832, 44, "about", 98),
+    ("host1.example.org", 153, 40, "page", 16),
+    ("host10.example.org", 120, 38, "about", 12),
+    ("host11.example.org", 169, 43, "about", 17),
+    ("host12.example.org", 138, 42, "host", 16),
+    ("host13.example.org", 139, 38, "about", 17),
+    ("host14.example.org", 45, 8, "about", 9),
+    ("host15.example.org", 74, 31, "about", 10),
+    ("host16.example.org", 110, 26, "about", 16),
+    ("host17.example.org", 45, 8, "about", 9),
+    ("host18.example.org", 203, 44, "about", 19),
+    ("host19.example.org", 165, 42, "about", 15),
+    ("host2.example.org", 168, 42, "about", 18),
+    ("host3.example.org", 85, 30, "about", 11),
+    ("host4.example.org", 99, 40, "hash", 10),
+    ("host5.example.org", 168, 42, "page", 14),
+    ("host6.example.org", 80, 8, "about", 16),
+    ("host7.example.org", 94, 28, "about", 14),
+    ("host8.example.org", 144, 40, "score", 14),
+    ("host9.example.org", 69, 32, "filter", 10),
+]
+
+
+@q(
+    "anch2_host_anchor_terms",
+    "SELECT dst_host, CAST(n_anchors AS BIGINT) AS n_anchors, "
+    "CAST(n_terms AS BIGINT) AS n_terms, top_term, "
+    "CAST(top_count AS BIGINT) AS top_count FROM (VALUES "
+    + ", ".join(
+        f"('{h}', {na}, {nt}, '{tt}', {tc})"
+        for h, na, nt, tt, tc in _ANCH2_GOLDEN_ROWS
+    )
+    + ") AS t(dst_host, n_anchors, n_terms, top_term, top_count) "
+    "ORDER BY dst_host",
+)
+def anch2_host_anchor_terms(spark, sf_dir):
+    # Per-target-host anchor-term index summary: for every dst host, how
+    # many anchors point at it, how many distinct (lowercased, whitespace-
+    # split) anchor terms, and the most frequent term (count DESC, term ASC
+    # tie-break). Scale shape: the narrow anchor stage preserves
+    # partitioning; n_anchors is one map-side-combined groupBy on dst_host;
+    # term counts shuffle once on (dst_host, term); the top term comes from
+    # a rank-1 window WindowGroupLimit short-circuits, so no host's full
+    # term list is ever sorted globally; the final join is between two
+    # host-cardinality tables (broadcast). Hosts via try_parse_url
+    # (NULL-safe on malformed urls).
+    from pyspark.sql import Window
+
+    from greenocr_spark.functions.sqlfns import host_expr
+    from greenocr_spark.operators.links import extract_anchors_df
+
+    pages = spark.read.parquet(_fixture_pages_path(400))
+    an = extract_anchors_df(pages).select(
+        host_expr("dst").alias("dst_host"), F.col("anchor")
+    )
+    n_anchors = an.groupBy("dst_host").agg(F.count(F.lit(1)).alias("n_anchors"))
+    terms = an.select(
+        "dst_host", F.explode(F.split(F.lower("anchor"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tc = terms.groupBy("dst_host", "term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("dst_host").orderBy(F.col("c").desc(), F.col("term"))
+    top = (
+        tc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dst_host", F.col("term").alias("top_term"), F.col("c").alias("top_count"))
+    )
+    n_terms = tc.groupBy("dst_host").agg(F.count(F.lit(1)).alias("n_terms"))
+    return (
+        n_anchors.join(F.broadcast(n_terms), "dst_host")
+        .join(F.broadcast(top), "dst_host")
+        .select("dst_host", "n_anchors", "n_terms", "top_term", "top_count")
+        .orderBy("dst_host")
+    )
+
+
+@q(
+    "url1_latest_snapshot",
+    """WITH snaps AS (
+        SELECT doc_id, text,
+               'https://host' || CAST(doc_id % 13 AS VARCHAR)
+                   || '.example/p' || CAST(doc_id % 97 AS VARCHAR) AS url
+        FROM documents)
+    SELECT url, doc_id AS latest_doc_id, text,
+           CAST(n_snaps AS BIGINT) AS n_snaps
+    FROM (
+        SELECT url, doc_id, text,
+               row_number() OVER (PARTITION BY url ORDER BY doc_id DESC)
+                   AS rn,
+               count(*) OVER (PARTITION BY url) AS n_snaps
+        FROM snaps) t
+    WHERE rn = 1""",
+)
+def url1_latest_snapshot(spark, sf_dir):
+    # Recrawl dedup — keep the NEWEST snapshot per url (every CC-style
+    # pipeline's first dedup pass: the same url is fetched in many crawls;
+    # only the latest capture feeds extraction). The documents table has no
+    # url column, so snapshots are PLANTED deterministically: url from
+    # doc_id arithmetic (13*97 = 1261 > any collision accident; ~5 docs
+    # per synthetic url at sf0.01) and recency = doc_id (the fixture
+    # corpus' warc_ts is likewise monotone in row id). Keeps the max-
+    # recency row per url plus the snapshot count. Scale shape: ONE scan,
+    # ONE url-keyed exchange, ONE per-partition sort feeding both window
+    # functions (rank-1 + count share the window spec). The plausible
+    # alternatives lose at 100 TB: max_by aggregation falls back to
+    # SortAggregate (string buffer — two sorts, and map-side partials
+    # rarely combine because same-url recrawls live in different crawl
+    # dumps), and an agg+join-back shape scans the wide text column from
+    # storage twice. No WindowGroupLimit here BY DESIGN — the count must
+    # see every snapshot, so top-1 can't be short-circuited. url is an
+    # exact key, so group skew is bounded by the per-url recrawl count,
+    # not host skew; recency ties are impossible (doc_id is unique —
+    # production orders by (warc_ts, digest) for the same determinism).
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example/p"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("url"),
+    )
+    w = Window.partitionBy("url").orderBy(F.col("doc_id").desc())
+    wc = Window.partitionBy("url")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_snaps", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "url",
+            F.col("doc_id").alias("latest_doc_id"),
+            "text",
+            F.col("n_snaps").cast("long").alias("n_snaps"),
+        )
+    )

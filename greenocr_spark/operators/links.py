@@ -25,7 +25,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from greenocr_spark.extractor.links import extract_outlinks
+from greenocr_spark.extractor.links import extract_anchors, extract_outlinks
 
 LINKS_SCHEMA = StructType(
     [
@@ -58,3 +58,50 @@ def extract_links(df: DataFrame) -> DataFrame:
             )
 
     return df.select("url", "html").mapInPandas(run, schema=LINKS_SCHEMA)
+
+
+ANCHORS_SCHEMA = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("seq", IntegerType()),
+        StructField("dst", StringType()),
+        StructField("anchor", StringType()),
+    ]
+)
+
+
+def extract_anchors_df(df: DataFrame) -> DataFrame:
+    """Anchor-text harvest: one output row per <a href>…</a> ELEMENT of
+    every page — (src page url, seq = position within the page's anchor
+    list, dst target url, anchor text). Duplicates are kept (the whole
+    point of anchor-text aggregation is multiplicity) and `seq` makes each
+    row unique, so order-insensitive xor-hash oracles can't self-cancel on
+    repeated (src, dst, anchor) triples.
+
+    Same narrow Arrow-batched mapInPandas shape as extract_links; the
+    per-document logic is extractor/links.extract_anchors (pure Python,
+    href resolution shared with the outlink spec). At 10^12 pages the
+    anchor table shuffles once on whatever key the consumer aggregates by
+    (dst host for anchor-term indexing) and everything upstream is this
+    embarrassingly parallel stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            src: list[str] = []
+            seq: list[int] = []
+            dst: list[str] = []
+            anchor: list[str] = []
+            for u, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                for i, (d, a) in enumerate(extract_anchors(raw, base_url=u)):
+                    src.append(u)
+                    seq.append(i)
+                    dst.append(d)
+                    anchor.append(a)
+            yield pd.DataFrame(
+                {"src": src, "seq": seq, "dst": dst, "anchor": anchor}
+            )
+
+    return df.select("url", "html").mapInPandas(run, schema=ANCHORS_SCHEMA)

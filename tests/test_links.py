@@ -270,3 +270,124 @@ def test_outlink_base_href_override():
         "https://page.example.com/dir/x/y",
         "https://page.example.com/root",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text face (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_unit_spec():
+    from greenocr_spark.extractor.links import extract_anchors
+
+    html = (
+        b"<html><body>"
+        b'<a href="https://ex.org/a">Plain text</a>'
+        b"<a href='/rooted'><b>Bold</b> &amp; <i>nested</i> <img src=x></a>"
+        b'<a href="https://ex.org/a">Plain text</a>'  # duplicate KEPT
+        b'<a href="#frag">fragment only</a>'
+        b'<a href="javascript:void(0)">skip</a>'
+        b"<a name=anchor>no href</a>"
+        b'<a href="/img-only"><img src=y></a>'
+        b'<a href="/ws">  lots\n\tof   space  </a>'
+        b'<a href="/open">unclosed trailing'
+    )
+    got = extract_anchors(html, base_url="https://host.example.com/dir/page")
+    assert got == [
+        ("https://ex.org/a", "Plain text"),
+        ("https://host.example.com/rooted", "Bold & nested"),
+        ("https://ex.org/a", "Plain text"),
+        ("https://host.example.com/img-only", ""),
+        ("https://host.example.com/ws", "lots of space"),
+    ]
+    # PDFs / empty / None payloads have no markup anchors
+    assert extract_anchors(b"%PDF-1.4 whatever") == []
+    assert extract_anchors(b"") == []
+    assert extract_anchors(None) == []
+
+
+def test_anchor_golden_frozen():
+    # the pure-Python anchor path over the fixture corpus must reproduce
+    # the literal frozen in anch1's oracle (the ex4/ex7 pattern); seq in
+    # the canon keeps repeated (src, dst, anchor) triples from xor-
+    # cancelling (the fixture link-farm repeats its farm block verbatim)
+    from greenocr_spark.battery_ml import _ANCH1_N, _ANCH1_XOR
+    from greenocr_spark.extractor.links import extract_anchors
+
+    acc, n = 0, 0
+    for p in make_pages(1500, seed=42):
+        for i, (d, a) in enumerate(extract_anchors(p["html"], base_url=p["url"])):
+            canon = "\x1f".join([p["url"], str(i), d, a])
+            acc ^= int(hashlib.sha256(canon.encode("utf-8")).hexdigest()[:15], 16)
+            n += 1
+    assert (acc, n) == (_ANCH1_XOR, _ANCH1_N)
+
+
+def test_anchor_host_terms_provenance():
+    # recompute anch2's frozen VALUES rows from the pure-Python spec
+    # (urlsplit host + lowercase whitespace terms, top term by
+    # count DESC / term ASC) — pins the golden literal to the spec,
+    # independent of Spark
+    from collections import Counter
+    from urllib.parse import urlsplit
+
+    from greenocr_spark.battery_ml import _ANCH2_GOLDEN_ROWS
+    from greenocr_spark.extractor.links import extract_anchors
+
+    per_host_terms: dict = {}
+    per_host_anchors: Counter = Counter()
+    for p in make_pages(400, seed=42):
+        for d, a in extract_anchors(p["html"], base_url=p["url"]):
+            h = urlsplit(d).hostname
+            per_host_anchors[h] += 1
+            c = per_host_terms.setdefault(h, Counter())
+            for t in a.lower().split():
+                c[t] += 1
+    expect = []
+    for h in sorted(per_host_terms):
+        c = per_host_terms[h]
+        top_term, top_count = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((h, per_host_anchors[h], len(c), top_term, top_count))
+    assert expect == sorted(_ANCH2_GOLDEN_ROWS)
+
+
+def test_anchor_stage_is_narrow(spark, tmp_path):
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.operators.links import extract_anchors_df
+
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(path, 50)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extract_anchors_df(spark.read.parquet(path)).explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_anchor_fuzz_never_raises_and_matches_outlink_targets():
+    # adversarial markup: the anchor extractor must never raise, must be
+    # deterministic, and every target it emits must be a url the outlink
+    # spec would also emit for the same page (shared _resolve_href)
+    import random as _random
+
+    from greenocr_spark.extractor.links import extract_anchors, extract_outlinks
+
+    rng = _random.Random(7)
+    frags = [
+        "<a href=", '"', "'", ">", "</a>", "<a>", "text", "&amp;", "&#x41;",
+        "<b>", "</b>", "<base href='/b/'>", "javascript:x", "https://f.ex/p",
+        "//rel.ex/q", "#f", "mailto:a@b", "<img src=x>", "\n", "\t", "<",
+        ">>", "<a href='/ok'>k</a>",
+    ]
+    for _ in range(300):
+        doc = "".join(rng.choice(frags) for _ in range(rng.randrange(0, 40)))
+        raw = doc.encode("utf-8", errors="replace")
+        a1 = extract_anchors(raw, base_url="https://host.ex/d/p")
+        a2 = extract_anchors(raw, base_url="https://host.ex/d/p")
+        assert a1 == a2
+        targets = {u for u, _ in a1}
+        outs = set(extract_outlinks(raw, base_url="https://host.ex/d/p"))
+        assert targets <= outs, (doc, targets - outs)

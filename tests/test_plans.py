@@ -590,3 +590,24 @@ def test_pipe3_funnel_narrow_no_python(spark):
     p = plan_of(_q(spark, "pipe3_gopher_funnel"))
     assert "Exchange" not in p
     assert "EvalPython" not in p
+
+
+def test_url1_single_exchange_shared_window(spark):
+    # keep-latest-per-url: one scan, one url-keyed exchange, one sort —
+    # rank-1 and snapshot count share the window spec (see the battery
+    # docstring for why max_by/join-back shapes lose at 100 TB)
+    p = plan_of(_q(spark, "url1_latest_snapshot"))
+    assert p.count("+- Exchange") == 1
+    assert "EvalPython" not in p
+    assert "WindowGroupLimit" not in p  # count must see every snapshot
+
+
+def test_anch2_shape_no_global_sorts(spark):
+    # anchor-term aggregation: map-side-combined host counts, one
+    # (host, term) shuffle, rank-1 window short-circuited by
+    # WindowGroupLimit, broadcast joins between host-cardinality tables
+    p = plan_of(_q(spark, "anch2_host_anchor_terms"))
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p  # anchor stage is Arrow-batched
