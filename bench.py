@@ -75,7 +75,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict:
         fn, _ = reg[name]
         return lambda: fn(spark, sf_dir)
 
-    from greenocr_spark.operators.links import extract_links
+    from greenocr_spark.operators.links import extract_anchors_df, extract_links
 
     return {
         "extract_pipeline": lambda: extract_pages(pages),
@@ -113,6 +113,11 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict:
         # tracked number so a batch-size / Arrow regression would show)
         "c4f1_line_filter": from_reg("c4f1_line_filter"),
         "nfc1_unicode_nfc": from_reg("nfc1_unicode_nfc"),
+        # round-5 late: anchor-text harvest over the same pages (third
+        # extraction-class number next to text and outlinks) and the
+        # keep-latest-per-url recrawl dedup (single-exchange window shape)
+        "anchor_pipeline": lambda: extract_anchors_df(pages),
+        "url1_latest_snapshot": from_reg("url1_latest_snapshot"),
     }
 
 
