@@ -18,7 +18,7 @@ Commands:
               per-shard manifest; prints summary stats as JSON
     pipeline  --input PATH --output DIR (or --fixture-pages N)
               [extract: --n-parts N --n-salts S --salting uniform|adaptive
-               --with-links] [curate: --min-tokens N --max-dup-frac F
+               --with-links --with-anchors] [curate: --min-tokens N --max-dup-frac F
                --langs en,de --no-neardup --no-resample --eval-input PATH]
               [export: --seq-len N --rows-per-shard N --seed S] [--no-resume]
               the COMPOSED production path: extract -> curate -> export over
@@ -195,6 +195,7 @@ def main() -> int:
         ap.add_argument("--salting", default="uniform",
                         choices=("uniform", "adaptive"))
         ap.add_argument("--with-links", action="store_true")
+        ap.add_argument("--with-anchors", action="store_true")
         ap.add_argument("--min-tokens", type=int, default=5)
         ap.add_argument("--max-dup-frac", type=float, default=0.6)
         ap.add_argument("--langs", default=None)
@@ -233,6 +234,7 @@ def main() -> int:
             n_salts=a.n_salts,
             salting=a.salting,
             with_links=a.with_links,
+            with_anchors=a.with_anchors,
             min_tokens=a.min_tokens,
             max_dup_bigram_frac=a.max_dup_frac,
             langs=tuple(a.langs.split(",")) if a.langs else None,

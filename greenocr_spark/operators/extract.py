@@ -53,15 +53,33 @@ LINK_FIELDS = [
     StructField("n_links", IntegerType()),
 ]
 
+ANCHOR_FIELDS = [
+    StructField(
+        "anchors",
+        ArrayType(
+            StructType(
+                [
+                    StructField("dst", StringType()),
+                    StructField("anchor", StringType()),
+                ]
+            )
+        ),
+    ),
+    StructField("n_anchors", IntegerType()),
+]
+
 
 def extract_schema(
     passthrough: list | None = None,
     input_schema: StructType | None = None,
     with_links: bool = False,
+    with_anchors: bool = False,
 ) -> StructType:
     fields = list(EXTRACT_FIELDS)
     if with_links:
         fields += LINK_FIELDS
+    if with_anchors:
+        fields += ANCHOR_FIELDS
     if passthrough:
         by_name = {f.name: f for f in (input_schema.fields if input_schema else [])}
         for name in passthrough:
@@ -74,6 +92,7 @@ def extract_pages(
     cfg: ExtractorConfig = DEFAULT_CONFIG,
     passthrough: tuple = (),
     with_links: bool = False,
+    with_anchors: bool = False,
 ) -> DataFrame:
     """Run main-content extraction over a pages DataFrame.
 
@@ -88,11 +107,18 @@ def extract_pages(
     the text-only schema and every frozen byte-identity surface are
     untouched. (The link pass re-decodes the payload — a bounded C-speed
     .decode(); sharing the decoded string would couple the frozen text
-    path to the link spec for ~nothing.)"""
-    schema = extract_schema(list(passthrough), df.schema, with_links)
+    path to the link spec for ~nothing.)
+
+    with_anchors=True likewise fuses the anchor-text harvest
+    (extractor/links.extract_anchors — (dst, anchor) per closed <a>
+    element, duplicates kept) into the same batch loop, for the same
+    one-payload-scan reason; composes freely with with_links."""
+    schema = extract_schema(list(passthrough), df.schema, with_links, with_anchors)
     keep = ["url", "html", *passthrough]
     if with_links:
         from greenocr_spark.extractor.links import extract_outlinks
+    if with_anchors:
+        from greenocr_spark.extractor.links import extract_anchors
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,6 +139,9 @@ def extract_pages(
             if with_links:
                 out["outlinks"] = [None] * n
                 out["n_links"] = [0] * n
+            if with_anchors:
+                out["anchors"] = [None] * n
+                out["n_anchors"] = [0] * n
             for i, raw in enumerate(pdf["html"].tolist()):
                 r = extract_document(raw, cfg)
                 out["text"][i] = r["text"]
@@ -130,6 +159,12 @@ def extract_pages(
                     links = extract_outlinks(raw, base_url=out["url"][i])
                     out["outlinks"][i] = links
                     out["n_links"][i] = len(links)
+                if with_anchors:
+                    # (dst, anchor) tuples pass positionally to the Arrow
+                    # struct array, same zero-re-boxing path as spans
+                    anchors = extract_anchors(raw, base_url=out["url"][i])
+                    out["anchors"][i] = anchors
+                    out["n_anchors"][i] = len(anchors)
             res = pd.DataFrame(out)
             for name in passthrough:
                 res[name] = pdf[name].values

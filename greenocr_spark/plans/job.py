@@ -88,6 +88,7 @@ def run_extract_job(
     resume: bool = True,
     salting: str = "uniform",
     with_links: bool = False,
+    with_anchors: bool = False,
 ) -> DataFrame:
     """Run (or resume) the extraction job. Returns the final extracted table
     (read back from storage, all partitions).
@@ -104,27 +105,31 @@ def run_extract_job(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     if resume:
-        # like the salting mode, with_links must be stable across resume:
-        # mixing runs would leave partition dirs with two different schemas
-        # under one table (and a fully-done resume would silently hand back
-        # a table of the other shape). Fail loudly up front instead.
+        # like the salting mode, the fused-face flags must be stable across
+        # resume: mixing runs would leave partition dirs with two different
+        # schemas under one table (and a fully-done resume would silently
+        # hand back a table of the other shape). Fail loudly up front.
         try:
-            has_links = (
-                "outlinks"
-                in spark.read.parquet(_extracted_dir(out_dir)).schema.fieldNames()
-            )
+            existing = spark.read.parquet(_extracted_dir(out_dir)).schema.fieldNames()
         except AnalysisException as e:
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                has_links = None
+                existing = None
             else:
                 raise
-        if has_links is not None and has_links != with_links:
-            raise ValueError(
-                f"extracted table at {_extracted_dir(out_dir)} was written "
-                f"with_links={has_links}; resuming with_links={with_links} "
-                "would mix schemas under one table — rerun with the same "
-                "flag or extract into a fresh out_dir"
-            )
+        if existing is not None:
+            for flag_name, flag, col in (
+                ("with_links", with_links, "outlinks"),
+                ("with_anchors", with_anchors, "anchors"),
+            ):
+                has = col in existing
+                if has != flag:
+                    raise ValueError(
+                        f"extracted table at {_extracted_dir(out_dir)} was "
+                        f"written {flag_name}={has}; resuming "
+                        f"{flag_name}={flag} would mix schemas under one "
+                        "table — rerun with the same flag or extract into "
+                        "a fresh out_dir"
+                    )
 
     if salting == "adaptive":
         from greenocr_spark.functions.sqlfns import (
@@ -190,15 +195,26 @@ def run_extract_job(
         try:
             return spark.read.parquet(ext_path)
         except Exception:
-            # forward with_links so the empty path's schema matches the
-            # non-empty path's (outlinks/n_links columns; ADVICE r04)
+            # forward the fused-face flags so the empty path's schema
+            # matches the non-empty path's (ADVICE r04)
             return spark.createDataFrame(
-                [], extract_schema(["part_id"], df.schema, with_links=with_links)
+                [],
+                extract_schema(
+                    ["part_id"],
+                    df.schema,
+                    with_links=with_links,
+                    with_anchors=with_anchors,
+                ),
             )
 
     ext_path = _extracted_dir(out_dir)
     df = df.repartition(n_parts, "part_id").sortWithinPartitions("url")
-    extracted = extract_pages(df, passthrough=("part_id",), with_links=with_links)
+    extracted = extract_pages(
+        df,
+        passthrough=("part_id",),
+        with_links=with_links,
+        with_anchors=with_anchors,
+    )
     from greenocr_spark.sources.pages import write_extracted
 
     write_extracted(extracted, ext_path, partition_col="part_id")

@@ -78,6 +78,7 @@ def run_pipeline_job(
     n_salts: int = 8,
     salting: str = "uniform",
     with_links: bool = False,
+    with_anchors: bool = False,
     # curate stage (plans/curate.py)
     min_tokens: int = 5,
     max_dup_bigram_frac: float = 0.6,
@@ -110,6 +111,7 @@ def run_pipeline_job(
         n_salts=n_salts,
         salting=salting,
         with_links=with_links,
+        with_anchors=with_anchors,
         resume=resume,
         run_id=run_id,
     )

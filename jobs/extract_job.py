@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--with-links", action="store_true",
                     help="harvest outlinks in the same extraction pass")
+    ap.add_argument("--with-anchors", action="store_true",
+                    help="harvest (dst, anchor-text) pairs in the same pass")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args()
 
@@ -74,6 +76,7 @@ def main() -> None:
         resume=not args.no_resume,
         salting=args.salting,
         with_links=args.with_links,
+        with_anchors=args.with_anchors,
     )
     n = result.count()
     secs = time.perf_counter() - t0

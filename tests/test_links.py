@@ -391,3 +391,63 @@ def test_anchor_fuzz_never_raises_and_matches_outlink_targets():
         targets = {u for u, _ in a1}
         outs = set(extract_outlinks(raw, base_url="https://host.ex/d/p"))
         assert targets <= outs, (doc, targets - outs)
+
+
+def test_fused_extract_with_anchors_matches_both_faces(spark, tmp_path):
+    # extract_pages(with_anchors=True) must equal the text face of the
+    # default stage AND the anchor face of the standalone stage, row for
+    # row; composes with with_links in the same pass
+    from greenocr_spark.extractor.links import extract_anchors
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.operators.extract import extract_pages
+
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(path, 200)
+    pages = spark.read.parquet(path)
+    fused = {
+        r["url"]: (
+            r["text"],
+            [(a["dst"], a["anchor"]) for a in r["anchors"]],
+            r["n_anchors"],
+            list(r["outlinks"]),
+        )
+        for r in extract_pages(pages, with_links=True, with_anchors=True).collect()
+    }
+    text_only = {r["url"]: r["text"] for r in extract_pages(pages).collect()}
+    assert len(fused) == 200
+    for p in make_pages(200, seed=42):
+        text, anchors, n_anchors, links = fused[p["url"]]
+        assert text == text_only[p["url"]]
+        expect = extract_anchors(p["html"], base_url=p["url"])
+        assert anchors == expect
+        assert n_anchors == len(expect)
+    # still narrow
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extract_pages(pages, with_anchors=True).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_extract_job_with_anchors_schema_guard(spark, tmp_path):
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.plans.job import run_extract_job
+
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(path, 100)
+    pages = spark.read.parquet(path)
+    out = str(tmp_path / "out")
+    res = run_extract_job(spark, pages, out, n_parts=4, with_anchors=True)
+    assert "anchors" in res.columns and "n_anchors" in res.columns
+    assert res.count() == 100
+    # resume with the SAME flag: no-op, schema stable
+    assert run_extract_job(spark, pages, out, n_parts=4, with_anchors=True).count() == 100
+    # resuming with a DIFFERENT flag must fail loudly, not mix schemas
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="with_anchors"):
+        run_extract_job(spark, pages, out, n_parts=4)
+    # and the links guard is independent of the anchors guard
+    with _pt.raises(ValueError, match="with_links"):
+        run_extract_job(spark, pages, out, n_parts=4, with_links=True, with_anchors=True)
