@@ -89,6 +89,7 @@ _ROUND5_TAIL = [
     "anch1_anchor_hash",
     "anch2_host_anchor_terms",
     "url1_latest_snapshot",
+    "meta1_canonical_dedup",
 ]
 
 

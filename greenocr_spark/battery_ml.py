@@ -4600,3 +4600,71 @@ def url1_latest_snapshot(spark, sf_dir):
             F.col("n_snaps").cast("long").alias("n_snaps"),
         )
     )
+
+
+@q(
+    "meta1_canonical_dedup",
+    """WITH p AS (
+        SELECT doc_id,
+               'https://p.example/' || CAST(doc_id AS VARCHAR) AS url,
+               doc_id % 7 = 0 AS noindex,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'https://canon.example/c'
+                         || CAST(doc_id % 50 AS VARCHAR)
+                    ELSE NULL END AS canonical
+        FROM documents)
+    SELECT coalesce(canonical, url) AS canon_key,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           min(url) AS keeper
+    FROM p WHERE NOT noindex
+    GROUP BY 1""",
+)
+def meta1_canonical_dedup(spark, sf_dir):
+    # noindex exclusion + rel=canonical dedup — the two page-metadata
+    # policies every CC-style corpus applies before content work. The
+    # documents table has no markup, so pages are PLANTED deterministically
+    # from doc_id (every 3rd page declares a canonical into a 50-key space,
+    # every 7th a robots noindex) and pushed through the REAL metadata
+    # extractor (operators/meta.extract_meta_pages — regex parse, entity
+    # decode, urljoin resolution); the DuckDB oracle recomputes the planted
+    # truth ARITHMETICALLY, so a green row value-checks the parser AND the
+    # dedup shape cross-engine (the c4f1 planting pattern applied to the
+    # meta face). Scale shape: narrow Arrow-batched parse, narrow noindex
+    # predicate, ONE map-side-combined groupBy on the canonical key; at
+    # 10^12 pages canonical-key skew is bounded by real canonical fan-in
+    # (pages per canonical), the same boundedness as url dedup.
+    from greenocr_spark.operators.meta import extract_meta_pages
+
+    d = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://p.example/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>t</title>"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.lit('<link rel="canonical" href="https://canon.example/c'),
+                        (F.col("doc_id") % 50).cast("string"),
+                        F.lit('">'),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit('<meta name="robots" content="noindex, nofollow">'),
+                ).otherwise(F.lit("")),
+                F.lit("</head><body><p>x</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    mt = extract_meta_pages(d)
+    return (
+        mt.where(~F.col("noindex"))
+        .groupBy(F.coalesce("canonical", "url").alias("canon_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.min("url").alias("keeper"),
+        )
+    )
