@@ -90,6 +90,7 @@ _ROUND5_TAIL = [
     "anch2_host_anchor_terms",
     "url1_latest_snapshot",
     "meta1_canonical_dedup",
+    "st11_stream_anchor_hash",
 ]
 
 

@@ -4668,3 +4668,52 @@ def meta1_canonical_dedup(spark, sf_dir):
             F.min("url").alias("keeper"),
         )
     )
+
+
+@q(
+    "st11_stream_anchor_hash",
+    f"""SELECT CAST({_ANCH1_XOR} AS BIGINT) AS corpus_hash,
+              CAST({_ANCH1_N} AS BIGINT) AS n_anchors""",
+)
+def st11_stream_anchor_hash(spark, sf_dir):
+    # §2.10 × anchor text: the STREAMING face of the anchor harvest —
+    # stream_warc over the same 1500-page WARC fixture →
+    # extract_anchors_df → anch1's xor-hash canon, availableNow drain.
+    # Must land on anch1's frozen pure-Python literal: batch-parquet
+    # (anch1) and streaming-WARC (this) harvests are string-identical —
+    # the st8/st10 container-independence argument extended to the
+    # anchor-text face (the anchor stage is a pure DataFrame→DataFrame
+    # function, so the batch pipeline IS the streaming pipeline). The
+    # eleventh streaming face.
+    import tempfile
+    import uuid as _uuid
+
+    from greenocr_spark.operators.links import extract_anchors_df
+    from greenocr_spark.sources.warc import stream_warc
+
+    pages = stream_warc(spark, _fixture_warc_dir(1500)).select("url", "html")
+    an = extract_anchors_df(pages)
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("src"),
+        F.col("seq").cast("string"),
+        F.col("dst"),
+        F.col("anchor"),
+    )
+    row_h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
+    hashed = an.select(row_h.alias("h")).agg(
+        F.bit_xor("h").alias("corpus_hash"), F.count("*").alias("n_anchors")
+    )
+    name = f"st11_{_uuid.uuid4().hex[:8]}"
+    qh = (
+        hashed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st11_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not qh.awaitTermination(600):
+        qh.stop()
+        raise TimeoutError("st11 streaming drain did not finish within 600s")
+    return spark.table(name)
