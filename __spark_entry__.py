@@ -91,6 +91,7 @@ _ROUND5_TAIL = [
     "url1_latest_snapshot",
     "meta1_canonical_dedup",
     "st11_stream_anchor_hash",
+    "rob1_robots_filter",
 ]
 
 

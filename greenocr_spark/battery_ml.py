@@ -4717,3 +4717,96 @@ def st11_stream_anchor_hash(spark, sf_dir):
         qh.stop()
         raise TimeoutError("st11 streaming drain did not finish within 600s")
     return spark.table(name)
+
+
+@q(
+    "rob1_robots_filter",
+    """WITH p AS (
+        SELECT doc_id, doc_id % 20 AS host_id, doc_id % 4 AS pk,
+               doc_id % 7 AS d7
+        FROM documents)
+    SELECT doc_id,
+           CAST(host_id AS BIGINT) AS host_id,
+           CASE pk WHEN 0 THEN '/p' || CAST(d7 AS VARCHAR) || '/x'
+                   WHEN 1 THEN '/private/ok/page'
+                   WHEN 2 THEN '/private/secret'
+                   ELSE '/bot/page' END AS path,
+           CASE WHEN host_id % 4 = 0 THEN pk <> 3
+                ELSE CASE pk
+                     WHEN 0 THEN NOT (host_id % 3 = 0 AND d7 = host_id % 7)
+                     WHEN 1 THEN TRUE
+                     WHEN 2 THEN FALSE
+                     ELSE TRUE END
+           END AS allowed
+    FROM p""",
+)
+def rob1_robots_filter(spark, sf_dir):
+    # robots.txt politeness filter — the crawl-exclusion policy applied to
+    # every CC-style corpus. One robots.txt per HOST is PLANTED textually
+    # from host-id arithmetic (mixed-case directives, comments, an ignored
+    # Sitemap line, a per-host extra Disallow every 3rd host, and a
+    # SPECIFIC greenocrbot group every 4th host that must OVERRIDE the *
+    # group per RFC 9309), parsed by the REAL parser
+    # (extractor/robots.py via operators/robots.compile_robots); page
+    # paths are planted from doc_id and decided by pure-JVM longest-
+    # prefix-match array lambdas. The DuckDB oracle recomputes the planted
+    # truth ARITHMETICALLY, so a green row value-checks the parser, the
+    # group-selection rule, the longest-match/Allow-tie decision, and the
+    # join shape cross-engine. Scale: the robots table is host-cardinality
+    # (tiny at any corpus size) → Arrow parse + BROADCAST join; the
+    # per-page decision is a narrow array-lambda projection — zero
+    # page-side shuffles at 10^12 rows.
+    from greenocr_spark.operators.robots import compile_robots
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    pages = d.select(
+        "doc_id",
+        (F.col("doc_id") % 20).alias("host_id"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("/p"), (F.col("doc_id") % 7).cast("string"), F.lit("/x")),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("/private/ok/page"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/private/secret"))
+        .otherwise(F.lit("/bot/page"))
+        .alias("path"),
+    )
+    h = F.col("host_id")
+    robots_txt = F.concat(
+        F.lit("# planted robots for host "),
+        h.cast("string"),
+        F.lit("\nUser-Agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+        F.when(
+            h % 3 == 0,
+            F.concat(F.lit("Disallow: /p"), (h % 7).cast("string"), F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            h % 4 == 0,
+            F.lit("\nUser-agent: GreenOCRBot\nDisallow: /bot\n"),
+        ).otherwise(F.lit("")),
+        F.lit("Sitemap: https://example.org/sitemap.xml\n"),
+    )
+    hosts = (
+        pages.select("host_id")
+        .distinct()
+        .withColumn("robots_txt", robots_txt)
+    )
+    rules = compile_robots(hosts, "greenocrbot", host_col="host_id")
+    joined = pages.join(F.broadcast(rules), "host_id")
+    matches = F.filter(
+        "rules", lambda r: F.col("path").startswith(r["prefix"])
+    )
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(r["plen"].alias("plen"), r["allow"].alias("allow")),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "host_id",
+        "path",
+        F.when(F.size(matches) == 0, F.lit(True))
+        .otherwise(best["allow"])
+        .alias("allowed"),
+    )

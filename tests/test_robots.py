@@ -1,0 +1,88 @@
+"""robots.txt face (extractor/robots.py + operators/robots.py +
+battery_ml.rob1_robots_filter): parser unit spec, REP group semantics,
+and the broadcast/narrow plan shape."""
+
+from __future__ import annotations
+
+from greenocr_spark.extractor.robots import (
+    parse_robots,
+    robots_allowed,
+    rules_for_agent,
+)
+
+
+def test_parser_unit_spec():
+    txt = (
+        "# global rules\n"
+        "User-Agent: *\n"
+        "Disallow: /private   # trailing comment\n"
+        "Allow: /private/ok\n"
+        "Disallow:\n"  # empty = allow-all no-op, dropped
+        "\n"
+        "User-agent: GoodBot\n"
+        "User-agent: OtherBot\n"  # consecutive UA lines share the group
+        "Disallow: /only-good\n"
+        "Crawl-delay: 10\n"  # unknown directive ignored
+        "Sitemap: https://x.example/s.xml\n"
+    )
+    g = parse_robots(txt)
+    assert g["*"] == [(False, "/private"), (True, "/private/ok")]
+    assert g["goodbot"] == [(False, "/only-good")]
+    assert g["otherbot"] == [(False, "/only-good")]
+    # later group for the same agent MERGES (RFC 9309 §2.2.1)
+    g2 = parse_robots("User-agent: a\nDisallow: /x\nUser-agent: a\nAllow: /y\n")
+    assert g2["a"] == [(False, "/x"), (True, "/y")]
+    # degenerate inputs never raise
+    assert parse_robots(None) == {}
+    assert parse_robots("") == {}
+    assert parse_robots("Disallow: /orphaned-before-any-group\n") == {}
+
+
+def test_group_selection_and_decision():
+    g = parse_robots(
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "User-agent: SpecificBot\nDisallow: /bot\n"
+    )
+    # specific group applies EXCLUSIVELY — no * fallback on top
+    r_spec = rules_for_agent(g, "SPECIFICBOT")  # case-insensitive
+    assert r_spec == [(False, "/bot")]
+    assert robots_allowed(r_spec, "/private/secret") is True
+    assert robots_allowed(r_spec, "/bot/page") is False
+    r_star = rules_for_agent(g, "unlisted-bot")
+    # longest match wins; Allow wins a length tie; no match -> allowed
+    assert robots_allowed(r_star, "/private/secret") is False
+    assert robots_allowed(r_star, "/private/ok/page") is True
+    assert robots_allowed(r_star, "/elsewhere") is True
+    assert robots_allowed([(False, "/a"), (True, "/a")], "/a/x") is True
+    # consecutive UA lines form ONE group even across blank lines
+    # (RFC 9309 §2.2.1): both agents share the rule that follows
+    g3 = parse_robots("User-agent: quiet\n\nUser-agent: *\nDisallow: /\n")
+    assert rules_for_agent(g3, "quiet") == [(False, "/")]
+    # a trailing group with zero rules = allow-all, NOT * fallback
+    g4 = parse_robots("User-agent: *\nDisallow: /\nUser-agent: quiet\n")
+    assert rules_for_agent(g4, "quiet") == []
+    assert robots_allowed(rules_for_agent(g4, "quiet"), "/anything") is True
+
+
+def test_rob1_plan_broadcast_and_narrow_pages(spark):
+    # the page side must never shuffle: robots table broadcasts, the
+    # decision is array lambdas; the only Exchange allowed is on the
+    # host-cardinality robots side (distinct over 20 rows)
+    import contextlib
+    import io
+
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml  # noqa: F401
+
+    fn, _ = b.REGISTRY["rob1_robots_filter"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p  # parse is Arrow-batched
+    # exchanges only below the broadcast (robots side): every Exchange in
+    # the plan must feed the distinct/broadcast, never the page scan side
+    assert p.count("+- Exchange") <= 2
