@@ -92,6 +92,7 @@ _ROUND5_TAIL = [
     "meta1_canonical_dedup",
     "st11_stream_anchor_hash",
     "rob1_robots_filter",
+    "map1_sitemap_urls",
 ]
 
 

@@ -4810,3 +4810,104 @@ def rob1_robots_filter(spark, sf_dir):
         .otherwise(best["allow"])
         .alias("allowed"),
     )
+
+
+@q(
+    "map1_sitemap_urls",
+    """WITH h AS (
+        SELECT DISTINCT doc_id % 20 AS host_id FROM documents
+    ), e AS (
+        SELECT host_id, unnest(range(3 + host_id % 4)) AS i FROM h
+    )
+    SELECT CAST(host_id AS BIGINT) AS host_id,
+           'https://h' || CAST(host_id AS VARCHAR) || '.example/p'
+               || CAST(i AS VARCHAR) || '?a=1&b=' || CAST(i % 2 AS VARCHAR)
+               AS loc,
+           CASE WHEN i % 2 = 0
+                THEN '2025-01-0' || CAST(1 + host_id % 9 AS VARCHAR)
+                ELSE NULL END AS lastmod
+    FROM e""",
+)
+def map1_sitemap_urls(spark, sf_dir):
+    # sitemap.xml url discovery — the crawl-frontier seeding face. One
+    # sitemap per HOST is PLANTED textually from host-id arithmetic
+    # (3 + h%4 <url> blocks, XML-entity-escaped query strings, lastmod on
+    # every other url, mixed-case tags and noise whitespace) and parsed by
+    # the REAL parser (extractor/sitemap.py via an Arrow-batched stage);
+    # the DuckDB oracle recomputes the planted truth arithmetically, so a
+    # green row value-checks the block/loc/lastmod parse and the entity
+    # decode cross-engine. Scale: sitemaps are host-cardinality — the
+    # parse stage is negligible next to the page corpus at any scale, and
+    # the exploded url list feeds the frontier anti-join (the j6 shape)
+    # without touching page payloads.
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from greenocr_spark.extractor.sitemap import parse_sitemap
+
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 20).alias("host_id")
+    ).distinct()
+    h = F.col("host_id")
+
+    def urlblock(i: int) -> F.Column:
+        loc = F.concat(
+            F.lit("<LOC> https://h"),
+            h.cast("string"),
+            F.lit(f".example/p{i}?a=1&amp;b={i % 2} </loc>"),
+        )
+        lastmod = (
+            F.concat(
+                F.lit("<lastmod>2025-01-0"),
+                (1 + h % 9).cast("string"),
+                F.lit("</lastmod>"),
+            )
+            if i % 2 == 0
+            else F.lit("")
+        )
+        return F.concat(F.lit("<url>\n  "), loc, lastmod, F.lit("</url>\n"))
+
+    # 3 + h%4 blocks: blocks 0-2 always, 3..5 gated on h%4
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset xmlns="x">\n'),
+        urlblock(0),
+        urlblock(1),
+        urlblock(2),
+        F.when(h % 4 >= 1, urlblock(3)).otherwise(F.lit("")),
+        F.when(h % 4 >= 2, urlblock(4)).otherwise(F.lit("")),
+        F.when(h % 4 >= 3, urlblock(5)).otherwise(F.lit("")),
+        F.lit("</urlset>\n"),
+    )
+    sm = d.withColumn("sitemap_xml", xml)
+    schema = StructType(
+        [
+            StructField("host_id", LongType()),
+            StructField("loc", StringType()),
+            StructField("lastmod", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hosts, locs, mods = [], [], []
+            for hid, txt in zip(
+                pdf["host_id"].tolist(), pdf["sitemap_xml"].tolist()
+            ):
+                for loc, lastmod, is_index in parse_sitemap(txt):
+                    if is_index:
+                        continue
+                    hosts.append(hid)
+                    locs.append(loc)
+                    mods.append(lastmod)
+            yield pd.DataFrame({"host_id": hosts, "loc": locs, "lastmod": mods})
+
+    return sm.mapInPandas(run, schema=schema)

@@ -86,3 +86,28 @@ def test_rob1_plan_broadcast_and_narrow_pages(spark):
     # exchanges only below the broadcast (robots side): every Exchange in
     # the plan must feed the distinct/broadcast, never the page scan side
     assert p.count("+- Exchange") <= 2
+
+
+def test_sitemap_parser_unit_spec():
+    from greenocr_spark.extractor.sitemap import parse_sitemap
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://x.example/a?q=1&amp;r=2 </loc>"
+        "<lastmod> 2025-02-03 </lastmod></url>"
+        "<URL><LOC>https://x.example/b</LOC></URL>"  # mixed case
+        "<url><lastmod>2025-01-01</lastmod></url>"  # no loc -> skipped
+        "<url><loc></loc></url>"  # empty loc -> skipped
+        "</urlset>"
+        "<sitemapindex><sitemap><loc>https://x.example/more.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    got = parse_sitemap(xml)
+    assert got == [
+        ("https://x.example/a?q=1&r=2", "2025-02-03", False),
+        ("https://x.example/b", None, False),
+        ("https://x.example/more.xml", None, True),
+    ]
+    assert parse_sitemap(None) == []
+    assert parse_sitemap("") == []
+    assert parse_sitemap("<urlset><url><loc>x") == []  # unclosed: no block
