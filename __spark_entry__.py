@@ -93,6 +93,7 @@ _ROUND5_TAIL = [
     "st11_stream_anchor_hash",
     "rob1_robots_filter",
     "map1_sitemap_urls",
+    "pipe4_crawl_frontier",
 ]
 
 

@@ -4756,7 +4756,7 @@ def rob1_robots_filter(spark, sf_dir):
     # (tiny at any corpus size) → Arrow parse + BROADCAST join; the
     # per-page decision is a narrow array-lambda projection — zero
     # page-side shuffles at 10^12 rows.
-    from greenocr_spark.operators.robots import compile_robots
+    from greenocr_spark.operators.robots import allowed_col
 
     d = t(spark, sf_dir, "documents").select("doc_id")
     pages = d.select(
@@ -4771,6 +4771,21 @@ def rob1_robots_filter(spark, sf_dir):
         .otherwise(F.lit("/bot/page"))
         .alias("path"),
     )
+    rules = _planted_robots_rules(spark, sf_dir)
+    joined = pages.join(F.broadcast(rules), "host_id")
+    return joined.select(
+        "doc_id",
+        "host_id",
+        "path",
+        allowed_col("rules", "path").alias("allowed"),
+    )
+
+
+def _planted_robots_rules(spark, sf_dir):
+    """(host_id, rules) — the rob1 planted robots corpus compiled through
+    the REAL parser for agent greenocrbot; shared by rob1 and pipe4."""
+    from greenocr_spark.operators.robots import compile_robots
+
     h = F.col("host_id")
     robots_txt = F.concat(
         F.lit("# planted robots for host "),
@@ -4787,29 +4802,12 @@ def rob1_robots_filter(spark, sf_dir):
         F.lit("Sitemap: https://example.org/sitemap.xml\n"),
     )
     hosts = (
-        pages.select("host_id")
+        t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 20).alias("host_id"))
         .distinct()
         .withColumn("robots_txt", robots_txt)
     )
-    rules = compile_robots(hosts, "greenocrbot", host_col="host_id")
-    joined = pages.join(F.broadcast(rules), "host_id")
-    matches = F.filter(
-        "rules", lambda r: F.col("path").startswith(r["prefix"])
-    )
-    best = F.array_max(
-        F.transform(
-            matches,
-            lambda r: F.struct(r["plen"].alias("plen"), r["allow"].alias("allow")),
-        )
-    )
-    return joined.select(
-        "doc_id",
-        "host_id",
-        "path",
-        F.when(F.size(matches) == 0, F.lit(True))
-        .otherwise(best["allow"])
-        .alias("allowed"),
-    )
+    return compile_robots(hosts, "greenocrbot", host_col="host_id")
 
 
 @q(
@@ -4840,6 +4838,12 @@ def map1_sitemap_urls(spark, sf_dir):
     # parse stage is negligible next to the page corpus at any scale, and
     # the exploded url list feeds the frontier anti-join (the j6 shape)
     # without touching page payloads.
+    return _planted_sitemap_table(spark, sf_dir)
+
+
+def _planted_sitemap_table(spark, sf_dir):
+    """(host_id, loc, lastmod) — the map1 planted sitemap corpus parsed
+    through the REAL parser; shared by map1 and pipe4."""
     from typing import Iterator
 
     import pandas as pd
@@ -4911,3 +4915,60 @@ def map1_sitemap_urls(spark, sf_dir):
             yield pd.DataFrame({"host_id": hosts, "loc": locs, "lastmod": mods})
 
     return sm.mapInPandas(run, schema=schema)
+
+
+@q(
+    "pipe4_crawl_frontier",
+    """WITH h AS (
+        SELECT DISTINCT doc_id % 20 AS host_id FROM documents
+    ), e AS (
+        SELECT host_id, unnest(range(3 + host_id % 4)) AS i FROM h
+    )
+    SELECT CAST(host_id AS BIGINT) AS host_id,
+           'https://h' || CAST(host_id AS VARCHAR) || '.example/p'
+               || CAST(i AS VARCHAR) || '?a=1&b=' || CAST(i % 2 AS VARCHAR)
+               AS loc
+    FROM e
+    WHERE i >= 1
+      AND NOT (host_id % 4 <> 0 AND host_id % 3 = 0 AND i = host_id % 7)""",
+)
+def pipe4_crawl_frontier(spark, sf_dir):
+    # Crawl-frontier composition — the capstone of the three crawl faces:
+    # sitemap url DISCOVERY (map1's planted corpus through the REAL
+    # sitemap parser) → robots POLITENESS filter (rob1's planted corpus
+    # through the REAL RFC 9309 parser, pure-JVM longest-match decision on
+    # the loc's path) → SEEN-SET anti-join (each host's first sitemap url
+    # is 'already crawled'; the j6/P8 resume shape). The oracle recomputes
+    # the surviving frontier arithmetically, so a green row value-checks
+    # the whole chain end-to-end — including that the specific-bot robots
+    # group overrides * (hosts 0/4/8/... keep their /p urls even when
+    # h%3==0 plants a /p disallow in *). Scale: every table in the chain
+    # except the discovered-urls list is host-cardinality and broadcasts;
+    # the url list itself shuffles ZERO times (broadcast equi-join +
+    # broadcast anti-join + narrow regexp path extraction) — at 10^9
+    # hosts / 10^11 sitemap urls the same plan holds with the rule table
+    # bucketed by host instead of broadcast.
+    from greenocr_spark.operators.robots import allowed_col
+
+    urls = _planted_sitemap_table(spark, sf_dir)
+    rules = _planted_robots_rules(spark, sf_dir)
+    path = F.regexp_extract(F.col("loc"), r"^https?://[^/]+(/.*)$", 1)
+    seen = (
+        t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 20).alias("host_id"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("https://h"),
+                F.col("host_id").cast("string"),
+                F.lit(".example/p0?a=1&b=0"),
+            ).alias("loc")
+        )
+    )
+    return (
+        urls.join(F.broadcast(rules), "host_id")
+        .withColumn("path", path)
+        .where(allowed_col("rules", "path"))
+        .join(F.broadcast(seen), "loc", "left_anti")
+        .select("host_id", "loc")
+    )

@@ -64,3 +64,24 @@ def compile_robots(df: DataFrame, agent: str, host_col: str = "host") -> DataFra
             yield pd.DataFrame({host_col: pdf[host_col].values, "rules": rules})
 
     return df.select(host_col, "robots_txt").mapInPandas(run, schema=schema)
+
+
+def allowed_col(rules_col, path_col):
+    """Pure-JVM longest-prefix-match decision Column over a compiled rule
+    array: filter the rules to prefix matches of the path, array_max the
+    (plen, allow) struct — longest match wins, Allow wins a length tie by
+    struct ordering — and default to allowed on no match. Zero Python,
+    zero shuffle; pair with a broadcast join of the host-cardinality rule
+    table."""
+    from pyspark.sql import functions as F
+
+    rules_col = F.col(rules_col) if isinstance(rules_col, str) else rules_col
+    path_col = F.col(path_col) if isinstance(path_col, str) else path_col
+    matches = F.filter(rules_col, lambda r: path_col.startswith(r["prefix"]))
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(r["plen"].alias("plen"), r["allow"].alias("allow")),
+        )
+    )
+    return F.when(F.size(matches) == 0, F.lit(True)).otherwise(best["allow"])
