@@ -112,7 +112,9 @@ def _resolve_href(href: str, base_url: str | None) -> str | None:
     return url
 
 
-def extract_anchors(raw, base_url: str | None = None) -> list[tuple[str, str]]:
+def extract_anchors(
+    raw, base_url: str | None = None, valid: list[str] | None = None
+) -> list[tuple[str, str]]:
     """All (target_url, anchor_text) pairs of a page, in document order,
     duplicates KEPT (anchor-text aggregation needs multiplicity).
 
@@ -124,7 +126,11 @@ def extract_anchors(raw, base_url: str | None = None) -> list[tuple[str, str]]:
       to spaces, entities decoded once, whitespace canonicalized — the
       same canon rule the text spec uses — so anchor text may be '' for
       image-only anchors;
-    - PDF / empty / None payloads → [] (no markup).
+    - PDF / empty / None payloads → [] (no markup);
+    - `valid`, when given, MUST be extract_outlinks(raw, base_url) for the
+      same payload — the fused extraction path (operators/extract.py,
+      with_links + with_anchors) passes its already-computed outlink list
+      so the gate below doesn't re-scan; semantics are identical.
     """
     if raw is None:
         return []
@@ -143,7 +149,9 @@ def extract_anchors(raw, base_url: str | None = None) -> list[tuple[str, str]]:
     # page's original base_url (extract_outlinks applies the identical
     # override itself; applying it twice is not idempotent for path-
     # relative <base href> values).
-    valid = set(extract_outlinks(s, base_url=base_url))
+    valid = set(
+        extract_outlinks(s, base_url=base_url) if valid is None else valid
+    )
     bm = _BASE_HREF_RE.search(s)
     if bm:
         declared = unescape(bm.group(1) or bm.group(2) or bm.group(3) or "").strip()

@@ -155,14 +155,19 @@ def extract_pages(
                 out["bytes_in"][i] = len(raw) if raw is not None else 0
                 out["bytes_out"][i] = len(r["text"].encode("utf-8"))
                 out["kind"][i] = r["kind"]
+                links = None
                 if with_links:
                     links = extract_outlinks(raw, base_url=out["url"][i])
                     out["outlinks"][i] = links
                     out["n_links"][i] = len(links)
                 if with_anchors:
                     # (dst, anchor) tuples pass positionally to the Arrow
-                    # struct array, same zero-re-boxing path as spans
-                    anchors = extract_anchors(raw, base_url=out["url"][i])
+                    # struct array, same zero-re-boxing path as spans;
+                    # the already-computed outlink list feeds the anchor
+                    # face's subset gate so it doesn't re-scan the payload
+                    anchors = extract_anchors(
+                        raw, base_url=out["url"][i], valid=links
+                    )
                     out["anchors"][i] = anchors
                     out["n_anchors"][i] = len(anchors)
             res = pd.DataFrame(out)

@@ -111,3 +111,23 @@ def test_sitemap_parser_unit_spec():
     assert parse_sitemap(None) == []
     assert parse_sitemap("") == []
     assert parse_sitemap("<urlset><url><loc>x") == []  # unclosed: no block
+
+
+def test_pipe4_plan_broadcast_only(spark):
+    # the frontier chain must never sort-merge or shuffle the url list:
+    # rules and seen set broadcast, path extraction is narrow
+    import contextlib
+    import io
+
+    import greenocr_spark.battery as b
+    import greenocr_spark.battery_ml  # noqa: F401
+
+    fn, _ = b.REGISTRY["pipe4_crawl_frontier"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p
