@@ -24,6 +24,11 @@ Commands:
               the COMPOSED production path: extract -> curate -> export over
               one corpus, each stage's resume model preserved; prints the
               full stats (extracted/curated rows, funnel, export) as JSON
+    frontier  --extracted DIR --robots PATH --output DIR [--agent NAME]
+              [--require-robots] [--no-resume]
+              crawl frontier: explode harvested outlinks -> robots
+              politeness (real parser, broadcast rules) -> seen anti-join;
+              params-fingerprint commit/resume; prints counts as JSON
     kmeans    --input PATH --output DIR [--k K] [--max-iters N]
               [--write-assignments] [--no-resume]
               Lloyd k-means to convergence over (vec_id, embedding) — IVF
@@ -278,6 +283,38 @@ def main() -> int:
             write_assignments=a.write_assignments,
         )
         print(json.dumps(stats))
+        spark.stop()
+        return 0
+    if cmd == "frontier":
+        import argparse
+        import json
+
+        ap = argparse.ArgumentParser(prog="greenocr_spark frontier")
+        ap.add_argument("--extracted", required=True,
+                        help="extracted table written with --with-links")
+        ap.add_argument("--robots", required=True,
+                        help="parquet with (host, robots_txt), one row/host")
+        ap.add_argument("--output", required=True)
+        ap.add_argument("--agent", default="greenocrbot")
+        ap.add_argument("--require-robots", action="store_true")
+        ap.add_argument("--no-resume", action="store_true")
+        a = ap.parse_args(rest)
+        from greenocr_spark.plans.frontier import run_frontier_job
+        from greenocr_spark.session import build_session
+
+        spark = build_session(app_name="frontier")
+        spark.sparkContext.setLogLevel("WARN")
+        fr = run_frontier_job(
+            spark,
+            spark.read.parquet(a.extracted),
+            spark.read.parquet(a.robots),
+            a.output,
+            agent=a.agent,
+            require_robots=a.require_robots,
+            resume=not a.no_resume,
+        )
+        print(json.dumps({"frontier_urls": fr.count(),
+                          "hosts": fr.select("host").distinct().count()}))
         spark.stop()
         return 0
     print(f"unknown command: {cmd}\n{__doc__}", file=sys.stderr)

@@ -4,6 +4,8 @@ and the broadcast/narrow plan shape."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from greenocr_spark.extractor.robots import (
     parse_robots,
     robots_allowed,
@@ -131,3 +133,62 @@ def test_pipe4_plan_broadcast_only(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_frontier_job_end_to_end(spark, tmp_path):
+    # real harvested links + planted robots -> frontier with politeness,
+    # seen-set exclusion, resume no-op, and params-drift guard
+    from greenocr_spark.fixtures import write_pages_parquet
+    from greenocr_spark.operators.extract import extract_pages
+    from greenocr_spark.plans.frontier import run_frontier_job
+
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(path, 120)
+    pages = spark.read.parquet(path)
+    extracted = extract_pages(pages, with_links=True)
+    # every fixture outlink is same-host; disallow /l* (the link-farm
+    # targets) on big.example.com only
+    hosts = (
+        extracted.select(F.explode("outlinks").alias("u"))
+        .selectExpr("parse_url(u, 'HOST') AS host")
+        .where("host IS NOT NULL")
+        .distinct()
+    )
+    robots = hosts.withColumn(
+        "robots_txt",
+        F.when(
+            F.col("host") == "big.example.com",
+            F.lit("User-agent: *\nDisallow: /l\nAllow: /long-ok\n"),
+        ).otherwise(F.lit("User-agent: *\n")),
+    )
+    out = str(tmp_path / "f")
+    fr = run_frontier_job(spark, extracted, robots, out)
+    rows = {(r["host"], r["url"]) for r in fr.collect()}
+    assert rows, "frontier must not be empty"
+    seen = {r["url"] for r in extracted.select("url").collect()}
+    for host, url in rows:
+        assert url not in seen  # seen-set exclusion
+        if host == "big.example.com":
+            p = url.split("big.example.com", 1)[1]
+            assert not p.startswith("/l")  # politeness
+    # the disallow actually bit: the raw candidates DID include /l urls
+    raw = {
+        r["u"]
+        for r in extracted.select(F.explode("outlinks").alias("u")).collect()
+    }
+    assert any(
+        u.startswith("https://big.example.com/l") for u in raw
+    ), "fixture must plant link-farm urls on the hot host"
+    # resume no-op returns the committed table
+    fr2 = run_frontier_job(spark, extracted, robots, out)
+    assert {(r["host"], r["url"]) for r in fr2.collect()} == rows
+    # params drift after commit fails loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="params drift"):
+        run_frontier_job(spark, extracted, robots, out, agent="otherbot")
+    # require_robots=True into a fresh dir only keeps robots-covered hosts
+    fr3 = run_frontier_job(
+        spark, extracted, robots, str(tmp_path / "f2"), require_robots=True
+    )
+    assert fr3.count() > 0
