@@ -79,7 +79,10 @@ def run_frontier_job(
                 )
             # crashed before commit: safe to adopt the new params
         elif resume and os.path.exists(success):
-            return spark.read.parquet(fdir)
+            try:
+                return spark.read.parquet(fdir)
+            except Exception:
+                pass  # committed-but-empty frontier: recompute is free
 
     candidates = (
         extracted.select(F.explode("outlinks").alias("url"))
@@ -105,4 +108,12 @@ def run_frontier_job(
     with open(ppath, "w") as f:
         json.dump(params, f)
     frontier.write.mode("overwrite").parquet(fdir)
-    return spark.read.parquet(fdir)
+    try:
+        return spark.read.parquet(fdir)
+    except Exception:
+        # a fully-crawled corpus yields an EMPTY frontier: the overwrite
+        # then leaves only _SUCCESS and the parquet reader cannot infer a
+        # schema from zero files — hand back the (empty) plan's frame with
+        # the correct schema instead of crashing (the plans/job.py
+        # empty-path convention)
+        return spark.createDataFrame([], frontier.schema)

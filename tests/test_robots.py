@@ -192,3 +192,24 @@ def test_frontier_job_end_to_end(spark, tmp_path):
         spark, extracted, robots, str(tmp_path / "f2"), require_robots=True
     )
     assert fr3.count() > 0
+
+
+def test_frontier_job_empty_frontier(spark, tmp_path):
+    # a fully-crawled corpus (every candidate already seen) must return an
+    # EMPTY frame with the right schema, not crash on schema inference,
+    # and the resume path must survive the committed-but-empty table
+    from greenocr_spark.plans.frontier import run_frontier_job
+
+    extracted = spark.createDataFrame(
+        [("https://h.example/a", ["https://h.example/a"])],
+        "url string, outlinks array<string>",
+    )
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\n")], "host string, robots_txt string"
+    )
+    out = str(tmp_path / "f")
+    fr = run_frontier_job(spark, extracted, robots, out)
+    assert fr.count() == 0
+    assert fr.columns == ["host", "url"]
+    fr2 = run_frontier_job(spark, extracted, robots, out)  # resume path
+    assert fr2.count() == 0
