@@ -213,3 +213,40 @@ def test_frontier_job_empty_frontier(spark, tmp_path):
     assert fr.columns == ["host", "url"]
     fr2 = run_frontier_job(spark, extracted, robots, out)  # resume path
     assert fr2.count() == 0
+
+
+def test_robots_and_sitemap_fuzz_never_raise_and_deterministic():
+    # adversarial text through both crawl-face parsers: never raise,
+    # always deterministic, output shape always well-formed
+    import random as _random
+
+    from greenocr_spark.extractor.robots import (
+        parse_robots,
+        robots_allowed,
+        rules_for_agent,
+    )
+    from greenocr_spark.extractor.sitemap import parse_sitemap
+
+    rng = _random.Random(13)
+    frags = [
+        "User-agent:", "user-AGENT : *", "Disallow:", "Allow: /a",
+        "Disallow: /b", "#c", ":", "::", "\n", "\r\n", " ", "\t",
+        "User-agent: bot", "Sitemap: x", "junk line", "Disallow : ",
+        "<url>", "</url>", "<loc>", "</loc>", "<lastmod>", "</lastmod>",
+        "https://x.ex/p", "&amp;", "<sitemap>", "</sitemap>", "<urlset>",
+    ]
+    for _ in range(400):
+        doc = "\n".join(rng.choice(frags) for _ in range(rng.randrange(0, 25)))
+        g1, g2 = parse_robots(doc), parse_robots(doc)
+        assert g1 == g2
+        for agent in ("*", "bot", "missing"):
+            rules = rules_for_agent(g1, agent)
+            assert isinstance(rules, list)
+            for allow, prefix in rules:
+                assert isinstance(allow, bool) and prefix  # never empty
+            assert robots_allowed(rules, "/b/x") in (True, False)
+        s1, s2 = parse_sitemap(doc), parse_sitemap(doc)
+        assert s1 == s2
+        for loc, lastmod, is_index in s1:
+            assert loc and isinstance(is_index, bool)
+            assert lastmod is None or lastmod
